@@ -1,0 +1,106 @@
+"""Configuration for the TPU-native string grouper.
+
+Mirrors the option surface of the reference library's ``StringGrouperConfig``
+(reference: string_grouper/string_grouper.py:17-202) while adding TPU-specific
+performance knobs.  All reference options keep their exact names, defaults and
+semantics so that user code written against the reference keeps working.
+"""
+
+from __future__ import annotations
+
+import multiprocessing
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+# --- Reference-compatible defaults (string_grouper.py:17-37) -----------------
+DEFAULT_NGRAM_SIZE: int = 3
+DEFAULT_TFIDF_MATRIX_DTYPE: type = np.float64
+DEFAULT_REGEX: str = r"[,-./]|\s"
+DEFAULT_MAX_N_MATCHES: int = 20
+DEFAULT_MIN_SIMILARITY: float = 0.8
+DEFAULT_N_PROCESSES: int = multiprocessing.cpu_count() - 1
+DEFAULT_IGNORE_CASE: bool = True
+DEFAULT_DROP_INDEX: bool = False
+DEFAULT_REPLACE_NA: bool = False
+DEFAULT_INCLUDE_ZEROES: bool = True
+GROUP_REP_CENTROID: str = "centroid"
+GROUP_REP_FIRST: str = "first"
+DEFAULT_GROUP_REP: str = GROUP_REP_CENTROID
+DEFAULT_FORCE_SYMMETRIES: bool = True
+DEFAULT_N_BLOCKS: Optional[Tuple[int, int]] = None
+DEFAULT_NORMALIZE_TO_ASCII: bool = True
+
+# --- Output column-naming constants (string_grouper.py:39-49) ----------------
+DEFAULT_COLUMN_NAME: str = "side"
+DEFAULT_ID_NAME: str = "id"
+LEFT_PREFIX: str = "left_"
+RIGHT_PREFIX: str = "right_"
+MOST_SIMILAR_PREFIX: str = "most_similar_"
+DEFAULT_MASTER_NAME: str = "master"
+DEFAULT_MASTER_ID_NAME: str = f"{DEFAULT_MASTER_NAME}_{DEFAULT_ID_NAME}"
+GROUP_REP_PREFIX: str = "group_rep_"
+
+# --- TPU-specific defaults ----------------------------------------------------
+# Feature-hash dimension for the phase-1 upper-bound filter matmul.  Must be a
+# power of two.  Larger values tighten the upper bound (fewer false-positive
+# candidates) at the cost of more MXU FLOPs per pair.
+DEFAULT_HASH_DIM: int = 1024
+# Per-row candidate-slack added on top of max_n_matches when shipping
+# device-selected candidates to the fp64 host refinement step.
+DEFAULT_TOPN_SLACK: int = 8
+# Rows per left-side chunk streamed through the phase-1 filter.
+DEFAULT_LEFT_CHUNK: int = 4096
+
+
+class StringGrouperConfig(NamedTuple):
+    r"""Immutable configuration (reference: string_grouper.py:156-202).
+
+    Reference options (identical semantics):
+
+    :param ngram_size: number of characters per n-gram.  Default 3.
+    :param tfidf_matrix_dtype: np.float32 or np.float64; dtype of the reported
+        similarity values.  Default np.float64.
+    :param regex: characters matching this regex are removed before n-gram
+        extraction.  Default ``'[,-./]|\s'``.
+    :param max_n_matches: maximum number of matches kept per master string.
+    :param min_similarity: minimum cosine similarity of a reported match.
+    :param number_of_processes: accepted for API compatibility; on TPU the
+        kernel parallelism is intrinsic, so this knob is a no-op.
+    :param ignore_case: lowercase strings before matching.
+    :param ignore_index: exclude index columns from outputs.
+    :param include_zeroes: when min_similarity <= 0, include zero-similarity
+        pairs in the output of get_matches.
+    :param replace_na: fill NaN index values of non-matches with the
+        duplicates-side index values (match_most_similar only).
+    :param group_rep: 'centroid' or 'first' group-representative scheme.
+    :param force_symmetries: for self-joins, force an exactly-1 diagonal and a
+        symmetric match set.
+    :param n_blocks: optional (left, right) block counts.  On TPU this is a
+        hint for the streaming scheduler; results are block-count invariant.
+    :param normalize_to_ascii: NFKD-normalize then strip non-ASCII.
+
+    TPU-specific options:
+
+    :param hash_dim: feature-hash width of the phase-1 filter matmul.
+    :param topn_slack: candidate slack per row sent to fp64 refinement.
+    :param left_chunk: left-side rows per streamed device chunk.
+    """
+
+    ngram_size: int = DEFAULT_NGRAM_SIZE
+    tfidf_matrix_dtype: type = DEFAULT_TFIDF_MATRIX_DTYPE
+    regex: str = DEFAULT_REGEX
+    max_n_matches: Optional[int] = DEFAULT_MAX_N_MATCHES
+    min_similarity: float = DEFAULT_MIN_SIMILARITY
+    number_of_processes: int = DEFAULT_N_PROCESSES
+    ignore_case: bool = DEFAULT_IGNORE_CASE
+    ignore_index: bool = DEFAULT_DROP_INDEX
+    include_zeroes: bool = DEFAULT_INCLUDE_ZEROES
+    replace_na: bool = DEFAULT_REPLACE_NA
+    group_rep: str = DEFAULT_GROUP_REP
+    force_symmetries: bool = DEFAULT_FORCE_SYMMETRIES
+    n_blocks: Optional[Tuple[int, int]] = DEFAULT_N_BLOCKS
+    normalize_to_ascii: bool = DEFAULT_NORMALIZE_TO_ASCII
+    hash_dim: int = DEFAULT_HASH_DIM
+    topn_slack: int = DEFAULT_TOPN_SLACK
+    left_chunk: int = DEFAULT_LEFT_CHUNK

@@ -1,0 +1,217 @@
+"""Exact TF-IDF encoding into an ELL (padded sparse-row) layout.
+
+Reproduces sklearn's ``TfidfVectorizer(min_df=1, analyzer=n_grams, dtype=...)``
+semantics used by the reference (reference: string_grouper/string_grouper.py
+:305-308 and :685-707):
+
+  * vocabulary: sorted unique n-grams of the fit corpus
+  * term frequency: raw counts
+  * idf: smooth -- ``ln((1 + n_docs) / (1 + df)) + 1``
+  * row normalization: L2
+
+Values are computed in float64 on the host (matching the reference's default
+``tfidf_matrix_dtype=np.float64``, string_grouper.py:18).  The ELL layout
+(`ids` padded with -1, `vals` padded with 0, term ids ascending per row) is
+the device-friendly equivalent of the reference's CSR matrices: fixed-width
+rows map directly onto TPU tiles, and the ascending-id invariant enables the
+exact merge-rescore kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import StringGrouperConfig
+from .ngrams import extract_windows, windows_as_sortable_keys
+from .preprocess import clean_corpus
+
+
+@dataclass(frozen=True)
+class EllMatrix:
+    """Padded sparse-row TF-IDF matrix.
+
+    ``ids[i, k]`` is the k-th (ascending) vocabulary index present in row i,
+    or -1 for padding; ``vals64[i, k]`` the corresponding L2-normalized
+    float64 TF-IDF value (0 for padding).
+    """
+
+    ids: np.ndarray  # int32[n, L]
+    vals64: np.ndarray  # float64[n, L]
+    n_terms: int  # vocabulary size
+
+    @property
+    def n_rows(self) -> int:
+        return self.ids.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.ids.shape[1]
+
+    def nnz_per_row(self) -> np.ndarray:
+        return (self.ids >= 0).sum(axis=1)
+
+    def to_dense(self) -> np.ndarray:
+        """Dense (n_rows, n_terms) float64 matrix -- for conformance tests."""
+        out = np.zeros((self.n_rows, self.n_terms), dtype=np.float64)
+        r, k = np.nonzero(self.ids >= 0)
+        out[r, self.ids[r, k]] = self.vals64[r, k]
+        return out
+
+    def row_dot(self, other: "EllMatrix") -> np.ndarray:
+        """Row-wise sparse dot in float64 (reference ``dot()``,
+        string_grouper.py:433-440).  Summation runs in ascending-term order,
+        matching CSR elementwise-multiply row sums."""
+        assert self.n_rows == other.n_rows
+        out = np.zeros(self.n_rows, dtype=np.float64)
+        # Merge per row: both id lists ascending.  Vectorized via searchsorted
+        # row-block trick: compare every slot of self against other's slots.
+        # L is small (max distinct n-grams per string), so L^2 is cheap.
+        a_ids, b_ids = self.ids, other.ids
+        a_vals, b_vals = self.vals64, other.vals64
+        eq = (a_ids[:, :, None] == b_ids[:, None, :]) & (a_ids[:, :, None] >= 0)
+        out = np.einsum("nk,nkl,nl->n", a_vals, eq.astype(np.float64), b_vals)
+        return out
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _ell_from_unique_pairs(
+    rows: np.ndarray,
+    terms: np.ndarray,
+    vals: np.ndarray,
+    n_rows: int,
+    n_terms: int,
+    width: Optional[int] = None,
+) -> EllMatrix:
+    """Pack (row, term, value) triples -- sorted by (row, term) -- into ELL."""
+    counts = np.bincount(rows, minlength=n_rows)
+    if width is None:
+        width = max(8, _round_up(int(counts.max(initial=0)), 8))
+    ids = np.full((n_rows, width), -1, dtype=np.int32)
+    vals64 = np.zeros((n_rows, width), dtype=np.float64)
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    pos = np.arange(len(rows), dtype=np.int64) - starts[rows]
+    ids[rows, pos] = terms.astype(np.int32)
+    vals64[rows, pos] = vals
+    return EllMatrix(ids=ids, vals64=vals64, n_terms=n_terms)
+
+
+class TfidfEncoder:
+    """sklearn-parity TF-IDF vectorizer over char n-grams.
+
+    Plays the role of the reference's ``TfidfVectorizer`` wiring
+    (string_grouper.py:305-308, :685-707): ``fit`` learns the vocabulary and
+    IDF from a corpus; ``transform`` encodes any string sequence against it.
+    """
+
+    def __init__(self, config: StringGrouperConfig):
+        self.config = config
+        self.vocab_keys_: Optional[np.ndarray] = None  # void[U], sorted
+        self.idf_: Optional[np.ndarray] = None  # float64[U]
+        self.n_docs_: int = 0
+
+    @property
+    def vocabulary_size(self) -> int:
+        return 0 if self.vocab_keys_ is None else len(self.vocab_keys_)
+
+    def fit(self, strings: Sequence[str]) -> "TfidfEncoder":
+        self.fit_transform(strings)
+        return self
+
+    def fit_transform(self, strings: Sequence[str]) -> EllMatrix:
+        corpus = clean_corpus(strings, self.config)
+        win = extract_windows(corpus, self.config.ngram_size)
+        keys = windows_as_sortable_keys(win.windows)
+        if len(keys) == 0:
+            raise ValueError(
+                "empty vocabulary; perhaps the documents only contain stop "
+                "characters or are shorter than the n-gram size"
+            )
+        vocab, t_idx = np.unique(keys, return_inverse=True)
+        n_terms = len(vocab)
+        n_rows = win.n_rows
+        self.vocab_keys_ = vocab
+        self.n_docs_ = n_rows
+
+        rows, terms, tf = _unique_row_term_counts(win.row_ids, t_idx, n_terms)
+        df = np.bincount(terms, minlength=n_terms)
+        self.idf_ = np.log((1.0 + n_rows) / (1.0 + df)) + 1.0
+
+        return self._encode(rows, terms, tf, n_rows, n_terms)
+
+    def transform(self, strings: Sequence[str]) -> EllMatrix:
+        if self.vocab_keys_ is None:
+            raise RuntimeError("TfidfEncoder.transform called before fit")
+        corpus = clean_corpus(strings, self.config)
+        win = extract_windows(corpus, self.config.ngram_size)
+        keys = windows_as_sortable_keys(win.windows)
+        n_terms = self.vocabulary_size
+        if len(keys) == 0:
+            return _ell_from_unique_pairs(
+                np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0),
+                corpus.n_rows, n_terms,
+            )
+        # Map windows into the fitted vocabulary; drop out-of-vocabulary
+        # n-grams (sklearn transform semantics).
+        t_idx = np.searchsorted(self.vocab_keys_, keys)
+        t_idx_clipped = np.minimum(t_idx, n_terms - 1)
+        in_vocab = self.vocab_keys_[t_idx_clipped] == keys
+        rows_in = win.row_ids[in_vocab]
+        terms_in = t_idx_clipped[in_vocab]
+        rows, terms, tf = _unique_row_term_counts(rows_in, terms_in, n_terms)
+        return self._encode(rows, terms, tf, corpus.n_rows, n_terms)
+
+    def fit_transform_pair(
+        self, master: Sequence[str], duplicates: Optional[Sequence[str]]
+    ) -> Tuple[EllMatrix, EllMatrix]:
+        """Fit on concat(master, duplicates) and encode both sides.
+
+        Mirrors reference ``_fit_vectorizer`` + ``_get_tf_idf_matrices``
+        (string_grouper.py:685-707): one shared vocabulary/IDF, fit on the
+        concatenation, each side transformed separately.  For a self-join the
+        second return value is the first.
+        """
+        master = list(master)
+        if duplicates is None:
+            m = self.fit_transform(master)
+            return m, m
+        duplicates = list(duplicates)
+        both = self.fit_transform(master + duplicates)
+        n_m = len(master)
+        m = EllMatrix(ids=both.ids[:n_m], vals64=both.vals64[:n_m], n_terms=both.n_terms)
+        d = EllMatrix(ids=both.ids[n_m:], vals64=both.vals64[n_m:], n_terms=both.n_terms)
+        return m, d
+
+    def _encode(
+        self,
+        rows: np.ndarray,
+        terms: np.ndarray,
+        tf: np.ndarray,
+        n_rows: int,
+        n_terms: int,
+    ) -> EllMatrix:
+        w = tf.astype(np.float64) * self.idf_[terms]
+        norm_sq = np.bincount(rows, weights=w * w, minlength=n_rows)
+        norm = np.sqrt(norm_sq)
+        inv = np.zeros(n_rows, dtype=np.float64)
+        nonzero = norm > 0
+        inv[nonzero] = 1.0 / norm[nonzero]
+        vals = w * inv[rows]
+        return _ell_from_unique_pairs(rows, terms, vals, n_rows, n_terms)
+
+
+def _unique_row_term_counts(
+    row_ids: np.ndarray, t_idx: np.ndarray, n_terms: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Collapse (row, term) occurrences into unique pairs with counts,
+    sorted by (row, term)."""
+    pair_keys = row_ids.astype(np.int64) * n_terms + t_idx.astype(np.int64)
+    upairs, tf = np.unique(pair_keys, return_counts=True)
+    rows = upairs // n_terms
+    terms = upairs % n_terms
+    return rows, terms, tf

@@ -1,0 +1,175 @@
+"""Conformance of the ELL TF-IDF encoder against sklearn's TfidfVectorizer
+configured exactly as the reference does (string_grouper.py:306):
+``TfidfVectorizer(min_df=1, analyzer=n_grams, dtype=np.float64)``.
+"""
+
+import re
+from unicodedata import normalize
+
+import numpy as np
+import pandas as pd
+import pytest
+from sklearn.feature_extraction.text import TfidfVectorizer
+
+from string_grouper_tpu.config import StringGrouperConfig
+from string_grouper_tpu.corpus import TfidfEncoder, clean_corpus, extract_windows
+
+
+def reference_ngrams(string, config=StringGrouperConfig()):
+    """The reference analyzer, reproduced as a test oracle
+    (string_grouper.py:365-378)."""
+    if config.ignore_case and string is not None:
+        string = string.lower()
+    if config.normalize_to_ascii:
+        string = normalize("NFKD", string).encode("ASCII", "ignore").decode()
+    string = re.sub(config.regex, r"", string)
+    grams = zip(*[string[i:] for i in range(config.ngram_size)])
+    return ["".join(g) for g in grams]
+
+
+def sklearn_tfidf(strings, config=StringGrouperConfig()):
+    vec = TfidfVectorizer(
+        min_df=1, analyzer=lambda s: reference_ngrams(s, config), dtype=np.float64
+    )
+    return vec.fit(strings), vec.fit_transform(strings).toarray()
+
+
+CORPORA = {
+    "simple": ["foo", "bar", "baz"],
+    "customers": [
+        "Mega Enterprises Corporation",
+        "Hyper Startup Incorporated",
+        "Hyper Startup Inc.",
+        "Hyper-Startup Inc.",
+        "Hyper Hyper Inc.",
+        "Mega Enterprises Corp.",
+    ],
+    "repeats": ["aaaa", "aaab", "abab", "banana bandana", "a-a.a/a,a"],
+    "unicode": ["Café Ltd", "CAFE ltd.", "naïve œuvre", "Ωmega GmbH", "café ltd"],
+    "with_empty_cleanup": ["...", "a", "ab", "abc", "abcd"],
+}
+
+
+@pytest.mark.parametrize("name", list(CORPORA))
+def test_dense_matrix_matches_sklearn(name):
+    strings = CORPORA[name]
+    config = StringGrouperConfig()
+    _, expected = sklearn_tfidf(strings, config)
+    enc = TfidfEncoder(config)
+    got = enc.fit_transform(strings).to_dense()
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=1e-13, atol=1e-15)
+
+
+def test_vocabulary_order_matches_sklearn():
+    strings = CORPORA["customers"]
+    config = StringGrouperConfig()
+    vec, _ = sklearn_tfidf(strings, config)
+    sk_vocab = [t for t, _ in sorted(vec.vocabulary_.items(), key=lambda kv: kv[1])]
+    enc = TfidfEncoder(config).fit(strings)
+    got_vocab = [
+        bytes(k).decode("utf-32-be").lstrip("\x00")
+        for k in enc.vocab_keys_
+    ]
+    # Decode each void key: 3 big-endian uint32 codepoints.
+    got_vocab = []
+    for k in enc.vocab_keys_:
+        cps = np.frombuffer(bytes(k), dtype=">u4")
+        got_vocab.append("".join(chr(c) for c in cps))
+    assert got_vocab == sk_vocab
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(ignore_case=False),
+        dict(normalize_to_ascii=False),
+        dict(ngram_size=2),
+        dict(ngram_size=5),
+        dict(regex=r"[aeiou]"),
+    ],
+)
+def test_option_variants_match_sklearn(kwargs):
+    strings = CORPORA["unicode"] + CORPORA["customers"]
+    config = StringGrouperConfig(**kwargs)
+    _, expected = sklearn_tfidf(strings, config)
+    got = TfidfEncoder(config).fit_transform(strings).to_dense()
+    np.testing.assert_allclose(got, expected, rtol=1e-13, atol=1e-15)
+
+
+def test_transform_against_fitted_vocab_drops_oov():
+    config = StringGrouperConfig()
+    fit_strings = ["foo", "bar", "baz"]
+    new_strings = ["foo", "bop", "barfoo"]
+    vec = TfidfVectorizer(
+        min_df=1, analyzer=lambda s: reference_ngrams(s, config), dtype=np.float64
+    ).fit(fit_strings)
+    expected = vec.transform(new_strings).toarray()
+    enc = TfidfEncoder(config).fit(fit_strings)
+    got = enc.transform(new_strings).to_dense()
+    np.testing.assert_allclose(got, expected, rtol=1e-13, atol=1e-15)
+
+
+def test_fit_transform_pair_shared_corpus():
+    """Vocabulary/IDF fit on concat of both sides (reference :699-707)."""
+    config = StringGrouperConfig()
+    master = ["foo", "bar", "baz"]
+    dupes = ["foo", "bar", "bop"]
+    vec = TfidfVectorizer(
+        min_df=1, analyzer=lambda s: reference_ngrams(s, config), dtype=np.float64
+    ).fit(master + dupes)
+    enc = TfidfEncoder(config)
+    m, d = enc.fit_transform_pair(master, dupes)
+    np.testing.assert_allclose(m.to_dense(), vec.transform(master).toarray(), rtol=1e-13)
+    np.testing.assert_allclose(d.to_dense(), vec.transform(dupes).toarray(), rtol=1e-13)
+    # reference test expectation (test_string_grouper.py:530-544)
+    expected_master = np.array(
+        [[0.0, 0.0, 0.0, 1.0], [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    )
+    expected_dupes = np.array(
+        [[0.0, 0.0, 0.0, 1.0], [1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    )
+    np.testing.assert_array_equal(m.to_dense(), expected_master)
+    np.testing.assert_array_equal(d.to_dense(), expected_dupes)
+
+
+def test_row_dot_matches_reference_pairwise_values():
+    """Golden values from reference test_compute_pairwise_similarities
+    (test_string_grouper.py:364-385)."""
+    config = StringGrouperConfig()
+    s1 = [
+        "Mega Enterprises Corporation",
+        "Hyper Startup Incorporated",
+        "Hyper Startup Inc.",
+        "Hyper-Startup Inc.",
+        "Hyper Hyper Inc.",
+        "Mega Enterprises Corp.",
+    ]
+    s2 = [
+        "Mega Enterprises Corporation",
+        "Hyper Startup Inc.",
+        "Hyper Startup Inc.",
+        "Hyper Startup Inc.",
+        "Hyper Hyper Inc.",
+        "Mega Enterprises Corporation",
+    ]
+    enc = TfidfEncoder(config)
+    m, d = enc.fit_transform_pair(s1, s2)
+    sims = m.row_dot(d)
+    expected = np.array(
+        [1.0, 0.6336195351561589, 1.0000000000000004, 1.0000000000000004, 1.0, 0.826462625999832]
+    )
+    np.testing.assert_allclose(sims, expected, rtol=1e-12)
+
+
+def test_clean_corpus_fast_path_equals_general_path():
+    config = StringGrouperConfig()
+    strings = ["Hello, World./-", "  spaces\tand\nnewlines ", "MiXeD-CaSe."]
+    fast = clean_corpus(strings, config)
+    # Force the general path by using a semantically-identical regex.
+    config2 = StringGrouperConfig(regex=r"[,-./]|\s")
+    import string_grouper_tpu.corpus.preprocess as pp
+
+    general = pp._clean_general(strings, config2)
+    np.testing.assert_array_equal(fast.buf, general.buf)
+    np.testing.assert_array_equal(fast.offsets, general.offsets)

@@ -1,0 +1,138 @@
+"""Matcher correctness against a brute-force float64 oracle.
+
+The oracle computes the full dense cosine matrix from the exact ELL encoding
+(already proven sklearn-equal in test_tfidf_parity.py) and applies the
+reference's semantics: threshold, per-row top-n, self-join diagonal fix and
+symmetrization (reference string_grouper.py:380-431).
+"""
+
+import numpy as np
+import pytest
+
+from string_grouper_tpu.config import StringGrouperConfig
+from string_grouper_tpu.corpus import TfidfEncoder
+from string_grouper_tpu.ops import topn_cosine_matches
+
+
+def oracle_pairs(left, right, min_similarity, max_n, force_symmetries, is_self):
+    """Brute-force float64 reference semantics."""
+    a = left.to_dense()
+    b = (left if is_self else right).to_dense()
+    sims = a @ b.T
+    n_l, n_r = sims.shape
+    shares = (a > 0) @ (b > 0).T > 0  # sparse nonzero structure
+    keep = shares & (sims >= min_similarity) & (sims > 0)
+    pairs = {}
+    for i in range(n_l):
+        cols = np.nonzero(keep[i])[0]
+        order = sorted(cols, key=lambda c: (-sims[i, c], c))[:max_n]
+        for c in order:
+            pairs[(i, c)] = sims[i, c]
+    if is_self and force_symmetries:
+        sym = {}
+        for (i, c), v in pairs.items():
+            if i != c:
+                sym[(i, c)] = v
+                sym[(c, i)] = v
+        for i in range(n_l):
+            sym[(i, i)] = 1.0
+        pairs = sym
+    return pairs
+
+
+CORPORA = {
+    "customers": [
+        "Mega Enterprises Corporation",
+        "Hyper Startup Incorporated",
+        "Hyper Startup Inc.",
+        "Hyper-Startup Inc.",
+        "HyperStartup Inc.",
+        "Hyper Hyper Inc.",
+        "Mega Enterprises Corp.",
+    ],
+    "random": None,  # filled below
+}
+
+
+def random_names(n, seed=0):
+    rng = np.random.default_rng(seed)
+    stems = ["alpha", "beta", "gamma", "delta", "omega", "hyper", "mega", "corp",
+             "inc", "ltd", "global", "tech", "data", "cloud", "net", "soft"]
+    out = []
+    for _ in range(n):
+        k = rng.integers(2, 5)
+        words = rng.choice(stems, size=k)
+        out.append(" ".join(words) + rng.choice([" co", " inc.", " llc", ""]))
+    return out
+
+
+@pytest.mark.parametrize("min_similarity", [0.8, 0.5, 0.1, 0.0, -1.0])
+@pytest.mark.parametrize("max_n", [1, 3, 20])
+def test_self_join_matches_oracle(min_similarity, max_n):
+    strings = CORPORA["customers"]
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+    got = topn_cosine_matches(ell, None, min_similarity, max_n)
+    expected = oracle_pairs(ell, None, min_similarity, max_n, True, True)
+    got_pairs = {(int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)}
+    assert set(got_pairs) == set(expected)
+    for k in expected:
+        np.testing.assert_allclose(got_pairs[k], expected[k], rtol=1e-12)
+
+
+@pytest.mark.parametrize("min_similarity", [0.8, 0.3, 0.0])
+@pytest.mark.parametrize("max_n", [1, 2, 20])
+def test_cross_join_matches_oracle(min_similarity, max_n):
+    master = CORPORA["customers"]
+    dupes = ["Hyper Startup Inc", "MEGA ENTERPRISES", "whatever", "Hyper Hyper"]
+    enc = TfidfEncoder(StringGrouperConfig())
+    m, d = enc.fit_transform_pair(master, dupes)
+    got = topn_cosine_matches(m, d, min_similarity, max_n)
+    expected = oracle_pairs(m, d, min_similarity, max_n, False, False)
+    got_pairs = {(int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)}
+    assert set(got_pairs) == set(expected)
+    for k in expected:
+        np.testing.assert_allclose(got_pairs[k], expected[k], rtol=1e-12)
+
+
+def test_larger_random_corpus_self_join():
+    strings = random_names(300)
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+    got = topn_cosine_matches(ell, None, 0.6, 20)
+    expected = oracle_pairs(ell, None, 0.6, 20, True, True)
+    got_pairs = {(int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)}
+    assert set(got_pairs) == set(expected)
+    sims = np.array([got_pairs[k] for k in sorted(expected)])
+    exp = np.array([expected[k] for k in sorted(expected)])
+    np.testing.assert_allclose(sims, exp, rtol=1e-12)
+
+
+def test_small_hash_dim_still_exact():
+    """Tiny hash dims produce many collisions; the exact rescore must still
+    reject every false positive and keep every true pair."""
+    strings = random_names(150, seed=3)
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+    got = topn_cosine_matches(ell, None, 0.5, 20, hash_dim=16)
+    expected = oracle_pairs(ell, None, 0.5, 20, True, True)
+    got_pairs = {(int(r), int(c)) for r, c in zip(got.rows, got.cols)}
+    assert got_pairs == set(expected)
+
+
+def test_self_join_ordering_row_major_col_ascending():
+    strings = CORPORA["customers"]
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+    got = topn_cosine_matches(ell, None, 0.1, 20)
+    keys = list(zip(got.rows.tolist(), got.cols.tolist()))
+    assert keys == sorted(keys)
+
+
+def test_diagonal_always_one_even_for_empty_strings():
+    strings = ["...", "abc", "abc"]  # first row has no n-grams
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+    got = topn_cosine_matches(ell, None, 0.8, 20)
+    diag = {(r, c): s for r, c, s in zip(got.rows, got.cols, got.sims) if r == c}
+    assert diag == {(0, 0): 1.0, (1, 1): 1.0, (2, 2): 1.0}

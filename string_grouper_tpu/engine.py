@@ -1,0 +1,416 @@
+"""Stateful matching engine: the TPU-native ``StringGrouper``.
+
+API-compatible with the reference class (reference:
+string_grouper/string_grouper.py:224-1010): same constructor signature,
+lifecycle (``__init__ -> fit -> get_matches / get_groups``), corpus/data
+reset methods, interactive ``add_match`` / ``remove_match`` editing, and
+method twins of the four high-level functions.
+
+The compute path is entirely different: strings are encoded into ELL TF-IDF
+on the host (corpus/), matched by the two-phase MXU matcher (ops/matcher.py),
+and grouped by on-device connected components (ops/connected_components.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import List, Optional, Union
+from unicodedata import normalize as _unicode_normalize
+
+import numpy as np
+import pandas as pd
+
+from .config import StringGrouperConfig
+from .corpus import TfidfEncoder
+from .frame import assemble_groups, assemble_matches, assemble_nearest_matches
+from .ops.matcher import topn_cosine_matches
+from .validation import (
+    StringGrouperNotFitException,
+    validate_group_rep,
+    validate_hash_dim,
+    validate_id_data,
+    validate_input_data_combination,
+    validate_is_fit,
+    validate_n_blocks,
+    validate_replace_na_and_drop,
+    validate_series_of_strings,
+    validate_strings_exist,
+    validate_tfidf_dtype,
+)
+
+logger = logging.getLogger("string_grouper_tpu")
+
+__all__ = ["StringGrouper", "StringGrouperNotFitException"]
+
+
+def _empty_matches_list() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "master_side": pd.Series(dtype=np.int64),
+            "dupe_side": pd.Series(dtype=np.int64),
+            "similarity": pd.Series(dtype=np.float64),
+        }
+    )
+
+
+class StringGrouper:
+    """Holds master/duplicates Series and their match list.
+
+    If ``duplicates`` is not given the master is matched against itself
+    (self-join).  Call :meth:`fit` to build the match list; matches can then
+    be edited with :meth:`add_match` / :meth:`remove_match`.
+    """
+
+    def __init__(
+        self,
+        master: pd.Series,
+        duplicates: Optional[pd.Series] = None,
+        master_id: Optional[pd.Series] = None,
+        duplicates_id: Optional[pd.Series] = None,
+        **kwargs,
+    ):
+        self.is_build = False
+        self._master: Optional[pd.Series] = None
+        self._duplicates: Optional[pd.Series] = None
+        self._master_id: Optional[pd.Series] = None
+        self._duplicates_id: Optional[pd.Series] = None
+        self._matches_list: pd.DataFrame = _empty_matches_list()
+        self._true_max_n_matches: int = 0
+        self._max_n_matches: Optional[int] = 0
+
+        # Unknown kwargs raise here, before data validation (reference
+        # constructor order, string_grouper.py:260-267).
+        self._config: StringGrouperConfig = StringGrouperConfig(**kwargs)
+        self._n_blocks = self._config.n_blocks
+
+        self._set_data(master, duplicates, master_id, duplicates_id)
+        self._set_options(**kwargs)
+        self._build_corpus()
+
+    # ------------------------------------------------------------------ data
+    def _set_data(self, master, duplicates=None, master_id=None, duplicates_id=None):
+        self.master = master
+        self.duplicates = duplicates
+        validate_input_data_combination(duplicates, master_id, duplicates_id)
+        validate_id_data(master, duplicates, master_id, duplicates_id)
+        self._master_id = master_id
+        self._duplicates_id = duplicates_id
+        self._left_Series = self._master
+        self._right_Series = self._master if self._duplicates is None else self._duplicates
+        self.is_build = False
+
+    def _set_options(self, **kwargs):
+        self._config = StringGrouperConfig(**kwargs)
+        self._max_n_matches = self._config.max_n_matches
+        validate_group_rep(self._config)
+        validate_tfidf_dtype(self._config)
+        validate_replace_na_and_drop(self._config, self._master, self._duplicates)
+        validate_n_blocks(self._config.n_blocks)
+        validate_hash_dim(self._config)
+        self.is_build = False
+
+    def _build_corpus(self):
+        # The encoder is (re)fit lazily inside fit()/dot() on the then-current
+        # data, matching the reference's refit-on-every-fit behavior
+        # (string_grouper.py:685-707).
+        self._encoder = TfidfEncoder(self._config)
+        self.is_build = False
+
+    def reset_data(self, master, duplicates=None, master_id=None, duplicates_id=None):
+        """Swap the input Series without reconfiguring the engine
+        (reference string_grouper.py:310-323)."""
+        self._set_data(master, duplicates, master_id, duplicates_id)
+
+    def clear_data(self):
+        self._master = None
+        self._duplicates = None
+        self._master_id = None
+        self._duplicates_id = None
+        self._matches_list = None
+        self._left_Series = None
+        self._right_Series = None
+        self.is_build = False
+
+    def update_options(self, **kwargs):
+        """Merge new options into the current config
+        (reference string_grouper.py:335-343)."""
+        _ = StringGrouperConfig(**kwargs)
+        old_kwargs = self._config._asdict()
+        old_kwargs.update(kwargs)
+        self._set_options(**old_kwargs)
+
+    @property
+    def master(self):
+        return self._master
+
+    @master.setter
+    def master(self, master):
+        validate_series_of_strings(master, "Master")
+        self._master = master
+
+    @property
+    def duplicates(self):
+        return self._duplicates
+
+    @duplicates.setter
+    def duplicates(self, duplicates):
+        if duplicates is not None:
+            validate_series_of_strings(duplicates, "Duplicates")
+        self._duplicates = duplicates
+
+    # ------------------------------------------------------------- tokenizer
+    def n_grams(self, string: str) -> List[str]:
+        """Analyzer for a single string (reference string_grouper.py:365-378);
+        the bulk path uses the vectorized corpus pipeline instead."""
+        if self._config.ignore_case and string is not None:
+            string = string.lower()
+        if self._config.normalize_to_ascii:
+            string = _unicode_normalize("NFKD", string).encode("ASCII", "ignore").decode()
+        string = re.sub(self._config.regex, "", string)
+        grams = zip(*[string[i:] for i in range(self._config.ngram_size)])
+        return ["".join(g) for g in grams]
+
+    # ------------------------------------------------------------------- fit
+    def fit(self) -> "StringGrouper":
+        """Build the matches list (reference fit(), string_grouper.py:380-431)."""
+        is_self = self._duplicates is None
+        master_ell, dupes_ell = self._encoder.fit_transform_pair(
+            list(self._master), None if is_self else list(self._duplicates)
+        )
+        self._master_ell = master_ell
+        self._dupes_ell = None if is_self else dupes_ell
+
+        # Reference auto-blocking bookkeeping (string_grouper.py:387-394).
+        # Our matcher streams HBM-sized tiles internally and is block-count
+        # invariant, so the guess only feeds logging and the _n_blocks attr.
+        b_left = max(1, round(len(self._left_Series) / 1e6))
+        b_right = max(1, round(len(self._right_Series) / 4e3))
+        if self._n_blocks is None:
+            if (b_left, b_right) != (1, 1):
+                logger.info(
+                    "n_blocks is not set; the matcher will stream the data in "
+                    "device-sized tiles equivalent to n_blocks = (%d, %d)",
+                    b_left,
+                    b_right,
+                )
+            self._n_blocks = (b_left, b_right)
+
+        n_right = len(self._right_Series)
+        max_n = n_right if self._max_n_matches is None else self._max_n_matches
+        pairs = topn_cosine_matches(
+            master_ell,
+            self._dupes_ell,
+            self._config.min_similarity,
+            max_n,
+            force_symmetries=self._config.force_symmetries,
+            hash_dim=self._config.hash_dim,
+            topn_slack=self._config.topn_slack,
+            left_chunk=self._config.left_chunk,
+        )
+        self._true_max_n_matches = pairs.true_max_n_matches
+        self._matches_list = pd.DataFrame(
+            {
+                "master_side": pairs.rows.astype(np.int64),
+                "dupe_side": pairs.cols.astype(np.int64),
+                "similarity": pairs.sims.astype(self._config.tfidf_matrix_dtype),
+            }
+        )
+        self.is_build = True
+        return self
+
+    def dot(self) -> pd.Series:
+        """Row-wise similarity of master vs duplicates
+        (reference string_grouper.py:433-440)."""
+        if len(self._master) != len(self._duplicates):
+            raise Exception("To perform this function, both input Series must have the same length.")
+        master_ell, dupes_ell = self._encoder.fit_transform_pair(
+            list(self._master), list(self._duplicates)
+        )
+        sims = master_ell.row_dot(dupes_ell).astype(self._config.tfidf_matrix_dtype)
+        return pd.Series(sims, name="similarity", index=self._master.index)
+
+    # --------------------------------------------------------------- outputs
+    @validate_is_fit
+    def get_matches(
+        self,
+        ignore_index: Optional[bool] = None,
+        include_zeroes: Optional[bool] = None,
+    ) -> pd.DataFrame:
+        """All matches with similarities (reference string_grouper.py:443-518)."""
+        if ignore_index is None:
+            ignore_index = self._config.ignore_index
+        if include_zeroes is None:
+            include_zeroes = self._config.include_zeroes
+        if self._config.min_similarity > 0 or not include_zeroes:
+            matches_list = self._matches_list
+        else:
+            non_matches = self._get_non_matches_list()
+            matches_list = (
+                self._matches_list
+                if non_matches.empty
+                else pd.concat([self._matches_list, non_matches], axis=0, ignore_index=True)
+            )
+        return assemble_matches(
+            self._master,
+            self._duplicates,
+            self._master_id,
+            self._duplicates_id,
+            matches_list,
+            ignore_index,
+        )
+
+    @validate_is_fit
+    def get_groups(
+        self,
+        ignore_index: Optional[bool] = None,
+        replace_na: Optional[bool] = None,
+    ) -> Union[pd.DataFrame, pd.Series]:
+        """Group representatives (self-join) or nearest matches (cross-join)
+        (reference string_grouper.py:520-544)."""
+        if ignore_index is None:
+            ignore_index = self._config.ignore_index
+        if self._duplicates is None:
+            return assemble_groups(
+                self._master,
+                self._master_id,
+                self._matches_list,
+                ignore_index,
+                self._config.group_rep,
+            )
+        if replace_na is None:
+            replace_na = self._config.replace_na
+        return assemble_nearest_matches(
+            self._master,
+            self._duplicates,
+            self._master_id,
+            self._duplicates_id,
+            self._matches_list,
+            ignore_index,
+            replace_na,
+        )
+
+    def _get_non_matches_list(self) -> pd.DataFrame:
+        """Zero-similarity completion (reference string_grouper.py:765-781)."""
+        m_sz = len(self._master)
+        d_sz = len(self._master if self._duplicates is None else self._duplicates)
+        all_pairs = pd.MultiIndex.from_product(
+            [range(m_sz), range(d_sz)], names=["master_side", "dupe_side"]
+        )
+        matched_pairs = pd.MultiIndex.from_frame(
+            self._matches_list[["master_side", "dupe_side"]]
+        )
+        missing_pairs = all_pairs.difference(matched_pairs)
+        if missing_pairs.empty:
+            return pd.DataFrame()
+        max_n = (
+            len(self._right_Series) if self._max_n_matches is None else self._max_n_matches
+        )
+        if max_n < self._true_max_n_matches:
+            raise Exception(
+                f"\nERROR: Cannot return zero-similarity matches since \n"
+                f"\t\t max_n_matches={max_n} is too small!\n"
+                f"\t\t Try setting max_n_matches={self._true_max_n_matches} (the \n"
+                f"\t\t true maximum number of matches over all strings in master)\n"
+                f"\t\t or greater or do not set this kwarg at all."
+            )
+        missing_pairs = missing_pairs.to_frame(index=False)
+        missing_pairs["similarity"] = 0
+        return missing_pairs
+
+    # ----------------------------------------------------- interactive edits
+    @validate_is_fit
+    def add_match(self, master_side: str, dupe_side: str) -> "StringGrouper":
+        """Manually add a match with similarity 1, propagating to prior
+        matches of the dupe side (reference string_grouper.py:646-666)."""
+        master_indices, dupe_indices = self._get_indices_of(master_side, dupe_side)
+        prior_matches = self._matches_list.master_side[
+            self._matches_list.dupe_side.isin(dupe_indices)
+        ]
+        dupe_indices = pd.concat([dupe_indices, prior_matches]).drop_duplicates()
+
+        new_matches = _cross_join(dupe_indices, master_indices, [1])
+        if self._duplicates is None:
+            new_matches = _make_symmetric(new_matches)
+        self._matches_list = pd.concat(
+            [self._matches_list.drop_duplicates(), new_matches], ignore_index=True
+        )
+        return self
+
+    @validate_is_fit
+    def remove_match(self, master_side: str, dupe_side: str) -> "StringGrouper":
+        """Remove a match (both directions for self-joins)
+        (reference string_grouper.py:668-683)."""
+        master_indices, dupe_indices = self._get_indices_of(master_side, dupe_side)
+        if self._duplicates is None:
+            master_indices = pd.concat([master_indices, dupe_indices])
+            dupe_indices = master_indices
+        self._matches_list = self._matches_list[
+            ~(
+                self._matches_list.master_side.isin(master_indices)
+                & self._matches_list.dupe_side.isin(dupe_indices)
+            )
+        ]
+        return self
+
+    def _get_indices_of(self, master_side: str, dupe_side: str):
+        """Positional indices of every occurrence of the two strings
+        (reference string_grouper.py:906-914)."""
+        master_strings = self._master
+        dupe_strings = self._master if self._duplicates is None else self._duplicates
+        validate_strings_exist(master_side, dupe_side, master_strings, dupe_strings)
+        master_indices = pd.Series(
+            np.flatnonzero(master_strings.to_numpy() == master_side)
+        )
+        dupe_indices = pd.Series(np.flatnonzero(dupe_strings.to_numpy() == dupe_side))
+        return master_indices, dupe_indices
+
+    # ------------------------------------------------------- method twins of
+    # the high-level functions, reusing this instance (reference :546-644)
+    def match_strings(
+        self, master, duplicates=None, master_id=None, duplicates_id=None, **kwargs
+    ) -> pd.DataFrame:
+        self.reset_data(master, duplicates, master_id, duplicates_id)
+        self.update_options(**kwargs)
+        self.fit()
+        return self.get_matches()
+
+    def match_most_similar(
+        self, master, duplicates, master_id=None, duplicates_id=None, **kwargs
+    ):
+        self.reset_data(master, duplicates, master_id, duplicates_id)
+        self.update_options(**kwargs)
+        self.fit()
+        return self.get_groups()
+
+    def group_similar_strings(self, strings_to_group, string_ids=None, **kwargs):
+        self.reset_data(strings_to_group, master_id=string_ids)
+        self.update_options(**kwargs)
+        self.fit()
+        return self.get_groups()
+
+    def compute_pairwise_similarities(self, string_series_1, string_series_2, **kwargs):
+        self.reset_data(string_series_1, string_series_2)
+        self.update_options(**kwargs)
+        return self.dot()
+
+
+def _make_symmetric(new_matches: pd.DataFrame) -> pd.DataFrame:
+    """(reference string_grouper.py:966-971)"""
+    switched = pd.DataFrame(
+        {
+            "master_side": new_matches.dupe_side,
+            "dupe_side": new_matches.master_side,
+            "similarity": new_matches.similarity,
+        }
+    )
+    return pd.concat([new_matches, switched])
+
+
+def _cross_join(dupe_indices, master_indices, similarities) -> pd.DataFrame:
+    """(reference string_grouper.py:973-978)"""
+    mi = pd.MultiIndex.from_product(
+        [master_indices, dupe_indices, similarities],
+        names=["master_side", "dupe_side", "similarity"],
+    )
+    return pd.DataFrame(index=mi).reset_index()

@@ -121,12 +121,23 @@ def candidate_topk(
     Returns ``(kvals, kcols)`` of shape (n_left, K): per-row exact-fp32
     scores (descending; -inf = no candidate) and their right-row indices.
     """
-    width = max(left.width, right.width)
+    # Bucket shapes to powers of two to bound the number of compiled
+    # programs: pad ELL width, right-row count, and left chunks.  Padding
+    # rows carry ids=-1 / vals=0, so they hash to zero vectors and rescore
+    # to 0, and are dropped by the score>0 qualifier.
+    width = _next_pow2(max(left.width, right.width, 8))
     left = _pad_width(left, width)
     right = _pad_width(right, width)
     n_left, n_right = left.n_rows, right.n_rows
+    n_right_p = (
+        _next_pow2(max(n_right, 8)) if n_right < 1024 else -(-n_right // 512) * 512
+    )
 
-    b_ids, b_vals = _as_f32_device(right)
+    b_ids_h = np.full((n_right_p, width), -1, dtype=np.int32)
+    b_vals_h = np.zeros((n_right_p, width), dtype=np.float32)
+    b_ids_h[:n_right] = right.ids
+    b_vals_h[:n_right] = right.vals64.astype(np.float32)
+    b_ids, b_vals = jnp.asarray(b_ids_h), jnp.asarray(b_vals_h)
     b_hash_t = hashed_projection(b_ids, b_vals, hash_dim).T
     a_ids_h, a_vals_h = left.ids, left.vals64.astype(np.float32)
 
@@ -134,13 +145,13 @@ def candidate_topk(
         thr_eff = np.float32(
             min_similarity * (1 - _UB_REL_SLACK) - _UB_ABS_SLACK
         )
-        c0 = min(n_right, max(64, _next_pow2(4 * min(max_n, n_right))))
+        c0 = min(n_right_p, max(64, _next_pow2(4 * min(max_n, n_right))))
     else:
         thr_eff = np.float32(-np.inf)
-        c0 = n_right
+        c0 = n_right_p
 
     max_n_eff = min(max_n, n_right)
-    k0 = min(c0, max_n_eff + topn_slack)
+    k0 = min(c0, _next_pow2(max_n_eff + topn_slack))
 
     chunk = min(left_chunk, _next_pow2(max(n_left, 8)))
     all_vals = []
@@ -164,7 +175,7 @@ def candidate_topk(
             )
             counts = np.asarray(counts[:m])
             if counts.max(initial=0) > c:
-                c = min(n_right, _next_pow2(int(counts.max())))
+                c = min(n_right_p, _next_pow2(int(counts.max())))
                 k = min(c, k)
                 continue
             kv = np.asarray(kvals[:m])

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Headline benchmark: full self-match of a 663k-name company corpus.
+
+Mirrors the reference's published benchmark (reference README.md:43-56):
+``match_strings`` self-join over 663,000 SEC-EDGAR company names with default
+quality knobs (ngram=3, min_similarity=0.8, max_n_matches=20) took
+5 min 34.65 s on the reference implementation.  The SEC corpus itself is not
+redistributable, so a deterministic synthetic corpus with the same scale and
+near-duplicate cluster structure (name stems + legal-suffix/typo variants)
+stands in.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <wall seconds>, "unit": "s", "vs_baseline": ...}
+
+vs_baseline > 1 means faster than the reference's 334.65 s.
+
+Environment knobs: BENCH_N (corpus size, default 663000), BENCH_SKIP_WARMUP.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+BASELINE_S = 334.65  # reference wall-clock (BASELINE.md / README.md:43-56)
+
+_STEMS = [
+    "advanced", "allied", "american", "apex", "atlantic", "atlas", "axis",
+    "beacon", "blue", "bridge", "capital", "cascade", "central", "citadel",
+    "coastal", "crown", "crystal", "delta", "diamond", "eagle", "east",
+    "electric", "empire", "federal", "first", "frontier", "fusion", "general",
+    "global", "golden", "grand", "great", "harbor", "heritage", "horizon",
+    "imperial", "integrated", "international", "iron", "keystone", "liberty",
+    "lone", "metro", "midland", "national", "north", "northern", "oak",
+    "pacific", "paramount", "peak", "phoenix", "pinnacle", "pioneer",
+    "platinum", "premier", "prime", "quantum", "regal", "river", "royal",
+    "sierra", "silver", "south", "southern", "sterling", "stellar", "summit",
+    "superior", "titan", "tri-state", "union", "united", "universal",
+    "valley", "vanguard", "vertex", "western", "white", "world", "zenith",
+]
+_MIDS = [
+    "aero", "agri", "bio", "build", "chem", "com", "data", "dyn", "energy",
+    "engineering", "equity", "finance", "food", "gas", "health", "home",
+    "industrial", "info", "insurance", "invest", "land", "life", "machine",
+    "marine", "media", "medical", "metal", "mining", "motor", "oil",
+    "pharma", "power", "print", "property", "rail", "realty", "resource",
+    "retail", "semiconductor", "service", "software", "steel", "tech",
+    "telecom", "textile", "timber", "trade", "transport", "trust", "water",
+]
+_KINDS = [
+    "industries", "holdings", "partners", "systems", "solutions", "group",
+    "enterprises", "associates", "ventures", "brands", "labs",
+    "international", "corporation", "company", "works", "networks",
+]
+_SUFFIXES = [
+    "inc", "inc.", "incorporated", "llc", "l.l.c.", "ltd", "ltd.", "limited",
+    "corp", "corp.", "co", "co.", "plc", "lp", "l.p.", "s.a.", "n.v.", "",
+]
+
+
+def synthetic_company_names(n: int, seed: int = 42) -> pd.Series:
+    """Deterministic corpus of ``n`` company names in near-duplicate clusters
+    (same base name, differing legal suffix / punctuation / small typos) --
+    the structure that makes the SEC EDGAR self-match non-trivial."""
+    rng = np.random.default_rng(seed)
+    n_bases = max(1, int(n * 0.55))
+    s = rng.integers(0, len(_STEMS), size=n_bases)
+    m = rng.integers(0, len(_MIDS), size=n_bases)
+    k = rng.integers(0, len(_KINDS), size=n_bases)
+    extra = rng.integers(0, len(_STEMS), size=n_bases)
+    two_stem = rng.random(n_bases) < 0.35
+    bases = [
+        (
+            f"{_STEMS[s[i]]} {_STEMS[extra[i]]} {_MIDS[m[i]]} {_KINDS[k[i]]}"
+            if two_stem[i]
+            else f"{_STEMS[s[i]]} {_MIDS[m[i]]} {_KINDS[k[i]]}"
+        )
+        for i in range(n_bases)
+    ]
+
+    base_idx = rng.integers(0, n_bases, size=n)
+    suffix_idx = rng.integers(0, len(_SUFFIXES), size=n)
+    mutate = rng.random(n)
+    out = []
+    for i in range(n):
+        name = bases[base_idx[i]]
+        suf = _SUFFIXES[suffix_idx[i]]
+        if suf:
+            name = f"{name} {suf}"
+        r = mutate[i]
+        if r < 0.15:  # drop one character
+            pos = int(r * 1e6) % len(name)
+            name = name[:pos] + name[pos + 1 :]
+        elif r < 0.25:  # duplicate one character
+            pos = int(r * 1e6) % len(name)
+            name = name[:pos] + name[pos] + name[pos:]
+        elif r < 0.32:  # uppercase style variant
+            name = name.title()
+        out.append(name)
+    return pd.Series(out)
+
+
+def main() -> None:
+    n = int(os.environ.get("BENCH_N", "663000"))
+    os.makedirs(".jax_cache", exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from string_grouper_tpu import match_strings
+
+    series = synthetic_company_names(n)
+
+    if not os.environ.get("BENCH_SKIP_WARMUP"):
+        # Full-size warmup so the timed run measures steady-state execution,
+        # not XLA compilation (compiles are also persisted to .jax_cache).
+        t0 = time.perf_counter()
+        warm = match_strings(series)
+        warm_s = time.perf_counter() - t0
+        print(
+            f"warmup: {len(warm)} match pairs in {warm_s:.2f}s "
+            f"(incl. compile)",
+            file=sys.stderr,
+        )
+        del warm
+
+    t0 = time.perf_counter()
+    matches = match_strings(series)
+    wall = time.perf_counter() - t0
+    n_pairs = len(matches)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"company_names_{n}_selfmatch_wall",
+                "value": round(wall, 3),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_S / wall, 3),
+                "n_strings": n,
+                "n_match_pairs": int(n_pairs),
+                "baseline_s": BASELINE_S,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,9 @@ DEFAULT_HASH_DIM: int = 1024
 DEFAULT_TOPN_SLACK: int = 8
 # Rows per left-side chunk streamed through the phase-1 filter.
 DEFAULT_LEFT_CHUNK: int = 4096
+# Right-side rows per phase-1 tile (the lax.scan step of the tiled
+# matmul + running top-k merge).
+DEFAULT_RIGHT_TILE: int = 4096
 
 
 class StringGrouperConfig(NamedTuple):
@@ -85,6 +88,7 @@ class StringGrouperConfig(NamedTuple):
     :param hash_dim: feature-hash width of the phase-1 filter matmul.
     :param topn_slack: candidate slack per row sent to fp64 refinement.
     :param left_chunk: left-side rows per streamed device chunk.
+    :param right_tile: right-side rows per phase-1 scan tile.
     """
 
     ngram_size: int = DEFAULT_NGRAM_SIZE
@@ -104,3 +108,4 @@ class StringGrouperConfig(NamedTuple):
     hash_dim: int = DEFAULT_HASH_DIM
     topn_slack: int = DEFAULT_TOPN_SLACK
     left_chunk: int = DEFAULT_LEFT_CHUNK
+    right_tile: int = DEFAULT_RIGHT_TILE

@@ -207,6 +207,7 @@ class StringGrouper:
             hash_dim=self._config.hash_dim,
             topn_slack=self._config.topn_slack,
             left_chunk=self._config.left_chunk,
+            right_tile=self._config.right_tile,
         )
         self._true_max_n_matches = pairs.true_max_n_matches
         self._matches_list = pd.DataFrame(

@@ -59,28 +59,74 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, int(x - 1).bit_length())
 
 
-@partial(jax.jit, static_argnames=("cand_c", "top_k"))
-def _match_chunk(
+def _ub_topk_scan(
+    a_hash: jax.Array,  # (m, d) bf16
+    b_hash_tiles: jax.Array,  # (n_tiles, tile, d) bf16
+    thr_eff: jax.Array,  # f32 scalar
+    cand_c: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Tiled phase-1 filter: scan over right tiles, per tile an MXU matmul of
+    the hashed projections (bf16 inputs, f32 accumulation), threshold on the
+    upper bound, tile-local top-k, and a running top-k merge.
+
+    The running merge is the single-chip form of the reference's
+    ``zip_sp_matmul_topn`` block combine (string_grouper.py:746): top-k of
+    concatenated per-tile top-k results.  Returns (ub_vals, cols, counts).
+    """
+    m = a_hash.shape[0]
+    tile = b_hash_tiles.shape[1]
+    neg = jnp.float32(-jnp.inf)
+    tk = min(cand_c, tile)
+
+    offsets = jnp.arange(b_hash_tiles.shape[0], dtype=jnp.int32) * tile
+
+    def body_abs(carry, xs):
+        b_tile, off = xs
+        run_vals, run_cols, counts = carry
+        ub = jnp.dot(a_hash, b_tile.T, preferred_element_type=jnp.float32)
+        ubm = jnp.where(ub >= thr_eff, ub, neg)
+        counts = counts + (ubm > neg).sum(axis=1, dtype=jnp.int32)
+        tv, ti = jax.lax.top_k(ubm, tk)
+        cat_v = jnp.concatenate([run_vals, tv], axis=1)
+        cat_c = jnp.concatenate([run_cols, ti + off], axis=1)
+        mv, mi = jax.lax.top_k(cat_v, cand_c)
+        mc = jnp.take_along_axis(cat_c, mi, axis=1)
+        return (mv, mc, counts), None
+
+    init = (
+        jnp.full((m, cand_c), neg, jnp.float32),
+        jnp.zeros((m, cand_c), jnp.int32),
+        jnp.zeros((m,), jnp.int32),
+    )
+    (run_vals, run_cols, counts), _ = jax.lax.scan(
+        body_abs, init, (b_hash_tiles, offsets)
+    )
+    return run_vals, run_cols, counts
+
+
+def match_block(
     a_ids: jax.Array,  # (m, La) int32
     a_vals: jax.Array,  # (m, La) f32
-    a_hash: jax.Array,  # (m, d) f32
+    a_hash: jax.Array,  # (m, d) bf16
     b_ids: jax.Array,  # (n, Lb) int32
     b_vals: jax.Array,  # (n, Lb) f32
-    b_hash_t: jax.Array,  # (d, n) f32
+    b_hash_tiles: jax.Array,  # (n_tiles, tile, d) bf16
     thr_eff: jax.Array,  # f32 scalar
     cand_c: int,
     top_k: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One left chunk against all right rows.  Returns (scores, cols, counts):
-    per-row top_k exact-fp32 scores (desc), their column ids, and the per-row
-    count of upper-bound-qualified columns (for adaptive C)."""
+    """One left block against one right block (all its tiles).  Returns
+    (scores, cols, counts): per-row top_k exact-fp32 scores (desc), their
+    column ids local to this right block, and the per-row count of
+    upper-bound-qualified columns (for adaptive C).
+
+    Pure function: jitted directly for the single-chip path and called inside
+    ``shard_map`` by the distributed matcher (parallel/distributed.py), where
+    the right block is one device's shard.
+    """
     neg = jnp.float32(-jnp.inf)
-    ub = jnp.dot(a_hash, b_hash_t, preferred_element_type=jnp.float32)
-    mask = ub >= thr_eff
-    counts = mask.sum(axis=1, dtype=jnp.int32)
-    ubm = jnp.where(mask, ub, neg)
-    _, cand = jax.lax.top_k(ubm, cand_c)  # (m, C)
-    cand_valid = jnp.take_along_axis(ubm, cand, axis=1) > neg
+    ub_vals, cand, counts = _ub_topk_scan(a_hash, b_hash_tiles, thr_eff, cand_c)
+    cand_valid = ub_vals > neg
 
     gathered_ids = b_ids[cand]  # (m, C, Lb)
     gathered_vals = b_vals[cand]
@@ -92,6 +138,9 @@ def _match_chunk(
     kvals, kidx = jax.lax.top_k(score, top_k)
     kcols = jnp.take_along_axis(cand, kidx, axis=1)
     return kvals, kcols, counts
+
+
+_match_chunk = partial(jax.jit, static_argnames=("cand_c", "top_k"))(match_block)
 
 
 def _as_f32_device(ell: EllMatrix) -> Tuple[jax.Array, jax.Array]:
@@ -115,6 +164,7 @@ def candidate_topk(
     hash_dim: int,
     topn_slack: int,
     left_chunk: int,
+    right_tile: int = 4096,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Run the device phases over all left chunks.
 
@@ -129,16 +179,22 @@ def candidate_topk(
     left = _pad_width(left, width)
     right = _pad_width(right, width)
     n_left, n_right = left.n_rows, right.n_rows
-    n_right_p = (
-        _next_pow2(max(n_right, 8)) if n_right < 1024 else -(-n_right // 512) * 512
-    )
+    # Pad right rows to a whole number of phase-1 tiles.
+    tile = min(right_tile, _next_pow2(max(n_right, 8)))
+    n_right_p = -(-n_right // tile) * tile
 
     b_ids_h = np.full((n_right_p, width), -1, dtype=np.int32)
     b_vals_h = np.zeros((n_right_p, width), dtype=np.float32)
     b_ids_h[:n_right] = right.ids
     b_vals_h[:n_right] = right.vals64.astype(np.float32)
     b_ids, b_vals = jnp.asarray(b_ids_h), jnp.asarray(b_vals_h)
-    b_hash_t = hashed_projection(b_ids, b_vals, hash_dim).T
+    # bf16 hashed projections: the UB threshold carries a relative slack that
+    # absorbs the bf16 rounding of the MXU inputs (accumulation stays f32).
+    b_hash_tiles = (
+        hashed_projection(b_ids, b_vals, hash_dim)
+        .astype(jnp.bfloat16)
+        .reshape(n_right_p // tile, tile, hash_dim)
+    )
     a_ids_h, a_vals_h = left.ids, left.vals64.astype(np.float32)
 
     if min_similarity > 0:
@@ -165,12 +221,14 @@ def candidate_topk(
         a_vals[:m] = a_vals_h[s:e]
         a_ids_d = jnp.asarray(a_ids)
         a_vals_d = jnp.asarray(a_vals)
-        a_hash = hashed_projection(a_ids_d, a_vals_d, hash_dim)
+        a_hash = hashed_projection(a_ids_d, a_vals_d, hash_dim).astype(
+            jnp.bfloat16
+        )
 
         c, k = c0, k0
         while True:
             kvals, kcols, counts = _match_chunk(
-                a_ids_d, a_vals_d, a_hash, b_ids, b_vals, b_hash_t,
+                a_ids_d, a_vals_d, a_hash, b_ids, b_vals, b_hash_tiles,
                 jnp.float32(thr_eff), c, k,
             )
             counts = np.asarray(counts[:m])
@@ -311,6 +369,7 @@ def topn_cosine_matches(
     hash_dim: int = 1024,
     topn_slack: int = 8,
     left_chunk: int = 4096,
+    right_tile: int = 4096,
 ) -> MatchPairs:
     """Full matcher: returns the reference-equivalent matches list.
 
@@ -321,7 +380,8 @@ def topn_cosine_matches(
     right_m = left if is_self else right
     max_n = right_m.n_rows if max_n_matches is None else max_n_matches
     kvals, kcols = candidate_topk(
-        left, right_m, min_similarity, max_n, hash_dim, topn_slack, left_chunk
+        left, right_m, min_similarity, max_n, hash_dim, topn_slack,
+        left_chunk, right_tile,
     )
     pairs = select_matches(left, right_m, kvals, kcols, min_similarity, max_n)
     if is_self and force_symmetries:

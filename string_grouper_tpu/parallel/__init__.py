@@ -1,0 +1,18 @@
+"""Multi-chip sharding layer: mesh construction, sharded top-n matching,
+collective TF-IDF reductions."""
+
+from .distributed import (
+    distributed_candidate_topk,
+    distributed_df_counts,
+    distributed_topn_cosine_matches,
+    make_mesh,
+    replicated_idf,
+)
+
+__all__ = [
+    "distributed_candidate_topk",
+    "distributed_df_counts",
+    "distributed_topn_cosine_matches",
+    "make_mesh",
+    "replicated_idf",
+]

@@ -1,0 +1,134 @@
+"""Shard-invariance tests for the multi-chip matcher.
+
+TPU-native analog of the reference's blocked-equals-unblocked equivalence
+tests (reference test_string_grouper.py:191-241 self-join, :285-336
+cross-join): the pair set, similarities, and downstream DataFrames must be
+identical for every mesh shape, and identical to the single-chip matcher.
+
+Runs on a virtual 8-device CPU mesh (see conftest.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from string_grouper_tpu.config import StringGrouperConfig
+from string_grouper_tpu.corpus import TfidfEncoder
+from string_grouper_tpu.ops.matcher import topn_cosine_matches
+from string_grouper_tpu.parallel import (
+    distributed_df_counts,
+    distributed_topn_cosine_matches,
+    make_mesh,
+    replicated_idf,
+)
+
+
+def _synthetic_names(n: int, seed: int = 0) -> pd.Series:
+    """Company-name-like corpus with many near-duplicate clusters."""
+    rng = np.random.default_rng(seed)
+    stems = [
+        "hyper", "mega", "quantum", "global", "acme", "stellar", "apex",
+        "pioneer", "vertex", "summit", "cascade", "fusion", "orbit", "nova",
+    ]
+    kinds = ["industries", "holdings", "logistics", "systems", "partners"]
+    suffixes = ["inc.", "llc", "ltd", "corp.", "co", "group", "s.a.", ""]
+    out = []
+    for i in range(n):
+        s = f"{rng.choice(stems)} {rng.choice(stems)} {rng.choice(kinds)}"
+        if rng.random() < 0.7:
+            s += f" {rng.choice(suffixes)}"
+        if rng.random() < 0.3:  # typo
+            pos = rng.integers(0, len(s))
+            s = s[:pos] + s[pos + 1 :]
+        out.append(s)
+    return pd.Series(out)
+
+
+def _pairs_frame(p):
+    return pd.DataFrame(
+        {"r": p.rows, "c": p.cols, "s": p.sims}
+    ).reset_index(drop=True)
+
+
+def _encode(series, config, other=None):
+    enc = TfidfEncoder(config)
+    return enc.fit_transform_pair(list(series), other)
+
+
+MESH_SHAPES = [(1, 1), (1, 2), (1, 8), (2, 4), (4, 2), (8, 1)]
+
+
+class TestShardInvariance:
+    @pytest.mark.parametrize("dp,mp", MESH_SHAPES)
+    def test_self_join_matches_single_chip(self, dp, mp):
+        config = StringGrouperConfig(min_similarity=0.6)
+        series = _synthetic_names(150)
+        left, _ = _encode(series, config)
+        ref = topn_cosine_matches(left, None, 0.6, 20)
+        mesh = make_mesh(dp * mp, dp=dp)
+        got = distributed_topn_cosine_matches(
+            left, None, 0.6, 20, mesh, left_chunk=32, right_tile=16
+        )
+        pd.testing.assert_frame_equal(_pairs_frame(got), _pairs_frame(ref))
+
+    @pytest.mark.parametrize("dp,mp", [(1, 8), (2, 4), (8, 1)])
+    def test_cross_join_matches_single_chip(self, dp, mp):
+        config = StringGrouperConfig(min_similarity=0.5)
+        master = _synthetic_names(120, seed=1)
+        dupes = _synthetic_names(75, seed=2)
+        left, right = _encode(master, config, list(dupes))
+        ref = topn_cosine_matches(left, right, 0.5, 5)
+        mesh = make_mesh(dp * mp, dp=dp)
+        got = distributed_topn_cosine_matches(
+            left, right, 0.5, 5, mesh, left_chunk=16, right_tile=8
+        )
+        pd.testing.assert_frame_equal(_pairs_frame(got), _pairs_frame(ref))
+
+    def test_zero_threshold_dense(self):
+        """min_similarity <= 0 keeps every nonzero pair on any mesh."""
+        config = StringGrouperConfig(min_similarity=0.0)
+        series = _synthetic_names(40, seed=3)
+        left, _ = _encode(series, config)
+        ref = topn_cosine_matches(left, None, 0.0, 40)
+        mesh = make_mesh(8, dp=2)
+        got = distributed_topn_cosine_matches(
+            left, None, 0.0, 40, mesh, left_chunk=8, right_tile=8
+        )
+        pd.testing.assert_frame_equal(_pairs_frame(got), _pairs_frame(ref))
+
+
+class TestDistributedTfidf:
+    def test_df_psum_and_idf_match_host_encoder(self):
+        """DF counts sharded over the mesh reduce (psum) to the host
+        encoder's global DF, and the replicated IDF matches its IDF."""
+        config = StringGrouperConfig()
+        series = _synthetic_names(64, seed=4)
+        enc = TfidfEncoder(config)
+        ell = enc.fit_transform(list(series))
+        n_terms = ell.n_terms
+        n_docs = enc.n_docs_
+
+        # Per-device local DF over a doc-sharded corpus: one-hot per (doc,
+        # term) presence summed locally, then psum'd globally.
+        presence = np.zeros((64, n_terms), dtype=np.float32)
+        r, k = np.nonzero(ell.ids >= 0)
+        presence[r, ell.ids[r, k]] = 1.0
+        mesh = make_mesh(8, dp=1)
+
+        def local_df(block):
+            return distributed_df_counts(block.sum(axis=0), "mp")
+
+        fn = shard_map(
+            local_df, mesh=mesh, in_specs=P("mp", None), out_specs=P(),
+            check_vma=False,
+        )
+        df_global = np.asarray(fn(jnp.asarray(presence)))
+        expected_df = presence.sum(axis=0)
+        np.testing.assert_allclose(df_global, expected_df)
+
+        idf = np.asarray(replicated_idf(jnp.asarray(df_global), float(n_docs)))
+        np.testing.assert_allclose(idf, enc.idf_, rtol=1e-6)

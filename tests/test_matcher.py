@@ -129,6 +129,27 @@ def test_self_join_ordering_row_major_col_ascending():
     assert keys == sorted(keys)
 
 
+@pytest.mark.parametrize(
+    "left_chunk,right_tile,hash_dim",
+    [(16, 8, 64), (32, 32, 128), (64, 128, 1024), (512, 4096, 256)],
+)
+def test_tiling_invariance(left_chunk, right_tile, hash_dim):
+    """Analog of the reference's blocked == unblocked equivalence tests
+    (reference test_string_grouper.py:191-241): the pair set and similarities
+    must be identical for every (left_chunk, right_tile, hash_dim) tiling."""
+    strings = random_names(200, seed=7)
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+    base = topn_cosine_matches(ell, None, 0.5, 20)
+    got = topn_cosine_matches(
+        ell, None, 0.5, 20,
+        hash_dim=hash_dim, left_chunk=left_chunk, right_tile=right_tile,
+    )
+    np.testing.assert_array_equal(got.rows, base.rows)
+    np.testing.assert_array_equal(got.cols, base.cols)
+    np.testing.assert_allclose(got.sims, base.sims, rtol=0, atol=0)
+
+
 def test_diagonal_always_one_even_for_empty_strings():
     strings = ["...", "abc", "abc"]  # first row has no n-grams
     enc = TfidfEncoder(StringGrouperConfig())

@@ -5,6 +5,10 @@ the ``string_grouper`` reference library (exports mirror
 reference string_grouper/__init__.py:1-2 plus the config/engine classes).
 """
 
+from .utils.host_alloc import tune_malloc as _tune_malloc
+
+_tune_malloc()  # TPU-VM page-fault mitigation; see utils/host_alloc.py
+
 from .api import (
     compute_pairwise_similarities,
     group_similar_strings,

@@ -50,6 +50,67 @@ def extract_windows(corpus: CodepointCorpus, ngram_size: int) -> NgramWindows:
     return NgramWindows(windows=windows, row_ids=row_ids, n_rows=n_rows)
 
 
+def packed_key_bits(max_codepoint: int) -> int:
+    """Bits per codepoint for order-preserving packed keys."""
+    if max_codepoint < 1 << 8:
+        return 8
+    if max_codepoint < 1 << 16:
+        return 16
+    return 21  # all Unicode codepoints fit in 21 bits
+
+
+def extract_packed_keys(
+    corpus: CodepointCorpus, ngram_size: int, bits: int | None = None
+):
+    """n-gram occurrences as order-preserving uint64 keys.
+
+    Packs each window's codepoints big-endian (first codepoint in the most
+    significant bits), so for the fixed window length ``ngram_size`` the
+    uint64 sort order equals Python-string lexicographic order -- i.e.
+    sklearn's sorted-vocabulary order.  This avoids the (slow) void-dtype
+    byte-key comparisons on multi-million-window corpora.
+
+    If ``bits`` is given (a previously fitted packing width), windows
+    containing codepoints outside that range are dropped -- they cannot be in
+    the fitted vocabulary, so this matches transform's out-of-vocabulary
+    filtering.  Returns ``None`` when the n-grams don't fit in 64 bits
+    (caller falls back to the void-key path).
+    """
+    lengths = corpus.lengths()
+    wcounts = np.maximum(lengths - ngram_size + 1, 0)
+    total = int(wcounts.sum())
+    n_rows = corpus.n_rows
+    if bits is None:
+        maxcp = int(corpus.buf.max(initial=0))
+        bits = packed_key_bits(maxcp)
+    if bits * ngram_size > 64:
+        return None
+    if total == 0:
+        return (
+            np.zeros(0, np.uint64),
+            np.zeros(0, np.int64),
+            n_rows,
+            bits,
+        )
+    row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), wcounts)
+    wstarts_cum = np.concatenate(([0], np.cumsum(wcounts)))
+    intra = np.arange(total, dtype=np.int64) - np.repeat(wstarts_cum[:-1], wcounts)
+    starts = np.repeat(corpus.offsets[:-1], wcounts) + intra
+    keys = np.zeros(total, np.uint64)
+    limit = np.uint64(1) << np.uint64(bits)
+    valid = np.ones(total, dtype=bool)
+    shift = np.uint64(bits)
+    for j in range(ngram_size):
+        cp = corpus.buf[starts + j].astype(np.uint64)
+        if bits < 21:
+            valid &= cp < limit
+        keys = (keys << shift) | cp
+    if not valid.all():
+        keys = keys[valid]
+        row_ids = row_ids[valid]
+    return keys, row_ids, n_rows, bits
+
+
 def windows_as_sortable_keys(windows: np.ndarray) -> np.ndarray:
     """View (total, n) uint32 windows as opaque fixed-width byte keys.
 

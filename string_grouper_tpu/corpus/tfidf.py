@@ -23,9 +23,10 @@ from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
+import pandas as pd
 
 from ..config import StringGrouperConfig
-from .ngrams import extract_windows, windows_as_sortable_keys
+from .ngrams import extract_packed_keys, extract_windows, windows_as_sortable_keys
 from .preprocess import clean_corpus
 
 
@@ -111,7 +112,10 @@ class TfidfEncoder:
 
     def __init__(self, config: StringGrouperConfig):
         self.config = config
-        self.vocab_keys_: Optional[np.ndarray] = None  # void[U], sorted
+        # Sorted vocabulary keys: uint64 packed n-grams on the fast path
+        # (_packed_bits set), void byte-keys on the fallback path.
+        self.vocab_keys_: Optional[np.ndarray] = None
+        self._packed_bits: Optional[int] = None
         self.idf_: Optional[np.ndarray] = None  # float64[U]
         self.n_docs_: int = 0
 
@@ -119,26 +123,67 @@ class TfidfEncoder:
     def vocabulary_size(self) -> int:
         return 0 if self.vocab_keys_ is None else len(self.vocab_keys_)
 
+    def vocabulary_terms(self) -> list:
+        """Vocabulary n-grams as strings, in term-id (sorted) order --
+        sklearn ``get_feature_names_out`` parity."""
+        if self.vocab_keys_ is None:
+            return []
+        k = self.config.ngram_size
+        if self._packed_bits is not None:
+            bits = self._packed_bits
+            mask = (1 << bits) - 1
+            out = []
+            for key in self.vocab_keys_.tolist():
+                cps = [(key >> (bits * (k - 1 - j))) & mask for j in range(k)]
+                out.append("".join(chr(c) for c in cps))
+            return out
+        return [
+            "".join(chr(c) for c in np.frombuffer(bytes(key), dtype=">u4"))
+            for key in self.vocab_keys_
+        ]
+
     def fit(self, strings: Sequence[str]) -> "TfidfEncoder":
         self.fit_transform(strings)
         return self
 
+    def _corpus_keys(self, corpus, bits: Optional[int]):
+        """(keys, row_ids, n_rows, bits|None): packed uint64 fast path, or
+        void byte-keys (bits None) when n-grams don't fit in 64 bits."""
+        packed = extract_packed_keys(corpus, self.config.ngram_size, bits)
+        if packed is not None:
+            return packed
+        win = extract_windows(corpus, self.config.ngram_size)
+        return (
+            windows_as_sortable_keys(win.windows),
+            win.row_ids,
+            win.n_rows,
+            None,
+        )
+
     def fit_transform(self, strings: Sequence[str]) -> EllMatrix:
         corpus = clean_corpus(strings, self.config)
-        win = extract_windows(corpus, self.config.ngram_size)
-        keys = windows_as_sortable_keys(win.windows)
+        keys, row_ids, n_rows, bits = self._corpus_keys(corpus, None)
         if len(keys) == 0:
             raise ValueError(
                 "empty vocabulary; perhaps the documents only contain stop "
                 "characters or are shorter than the n-gram size"
             )
-        vocab, t_idx = np.unique(keys, return_inverse=True)
+        if bits is not None:
+            # Hash-based factorization (no O(n log n) sort of all windows),
+            # then sort only the (small) unique-term table; sorted uint64
+            # order == sklearn's lexicographic vocabulary order.
+            codes, uniques = pd.factorize(keys)
+            vocab = np.sort(uniques)
+            remap = np.searchsorted(vocab, uniques)
+            t_idx = remap[codes]
+        else:
+            vocab, t_idx = np.unique(keys, return_inverse=True)
         n_terms = len(vocab)
-        n_rows = win.n_rows
         self.vocab_keys_ = vocab
+        self._packed_bits = bits
         self.n_docs_ = n_rows
 
-        rows, terms, tf = _unique_row_term_counts(win.row_ids, t_idx, n_terms)
+        rows, terms, tf = _unique_row_term_counts(row_ids, t_idx, n_terms)
         df = np.bincount(terms, minlength=n_terms)
         self.idf_ = np.log((1.0 + n_rows) / (1.0 + df)) + 1.0
 
@@ -148,8 +193,12 @@ class TfidfEncoder:
         if self.vocab_keys_ is None:
             raise RuntimeError("TfidfEncoder.transform called before fit")
         corpus = clean_corpus(strings, self.config)
-        win = extract_windows(corpus, self.config.ngram_size)
-        keys = windows_as_sortable_keys(win.windows)
+        if self._packed_bits is not None:
+            keys, row_ids, _, _ = self._corpus_keys(corpus, self._packed_bits)
+        else:
+            win = extract_windows(corpus, self.config.ngram_size)
+            keys = windows_as_sortable_keys(win.windows)
+            row_ids = win.row_ids
         n_terms = self.vocabulary_size
         if len(keys) == 0:
             return _ell_from_unique_pairs(
@@ -161,7 +210,7 @@ class TfidfEncoder:
         t_idx = np.searchsorted(self.vocab_keys_, keys)
         t_idx_clipped = np.minimum(t_idx, n_terms - 1)
         in_vocab = self.vocab_keys_[t_idx_clipped] == keys
-        rows_in = win.row_ids[in_vocab]
+        rows_in = row_ids[in_vocab]
         terms_in = t_idx_clipped[in_vocab]
         rows, terms, tf = _unique_row_term_counts(rows_in, terms_in, n_terms)
         return self._encode(rows, terms, tf, corpus.n_rows, n_terms)
@@ -211,7 +260,13 @@ def _unique_row_term_counts(
     """Collapse (row, term) occurrences into unique pairs with counts,
     sorted by (row, term)."""
     pair_keys = row_ids.astype(np.int64) * n_terms + t_idx.astype(np.int64)
-    upairs, tf = np.unique(pair_keys, return_counts=True)
+    pair_keys.sort()
+    boundary = np.empty(len(pair_keys), dtype=bool)
+    boundary[0] = True
+    np.not_equal(pair_keys[1:], pair_keys[:-1], out=boundary[1:])
+    upairs = pair_keys[boundary]
+    idx = np.flatnonzero(boundary)
+    tf = np.diff(np.concatenate((idx, [len(pair_keys)])))
     rows = upairs // n_terms
     terms = upairs % n_terms
     return rows, terms, tf

@@ -25,6 +25,7 @@ from .config import StringGrouperConfig
 from .corpus import TfidfEncoder
 from .frame import assemble_groups, assemble_matches, assemble_nearest_matches
 from .ops.matcher import topn_cosine_matches
+from .utils.profiling import PhaseTimings
 from .validation import (
     StringGrouperNotFitException,
     validate_group_rep,
@@ -83,6 +84,9 @@ class StringGrouper:
         # constructor order, string_grouper.py:260-267).
         self._config: StringGrouperConfig = StringGrouperConfig(**kwargs)
         self._n_blocks = self._config.n_blocks
+        #: per-phase wall times of the most recent fit (profiling hook; the
+        #: reference has no built-in timing -- SURVEY.md section 5)
+        self.timings = PhaseTimings()
 
         self._set_data(master, duplicates, master_id, duplicates_id)
         self._set_options(**kwargs)
@@ -174,10 +178,12 @@ class StringGrouper:
     # ------------------------------------------------------------------- fit
     def fit(self) -> "StringGrouper":
         """Build the matches list (reference fit(), string_grouper.py:380-431)."""
+        self.timings.reset()
         is_self = self._duplicates is None
-        master_ell, dupes_ell = self._encoder.fit_transform_pair(
-            list(self._master), None if is_self else list(self._duplicates)
-        )
+        with self.timings.phase("encode"):
+            master_ell, dupes_ell = self._encoder.fit_transform_pair(
+                list(self._master), None if is_self else list(self._duplicates)
+            )
         self._master_ell = master_ell
         self._dupes_ell = None if is_self else dupes_ell
 
@@ -198,25 +204,27 @@ class StringGrouper:
 
         n_right = len(self._right_Series)
         max_n = n_right if self._max_n_matches is None else self._max_n_matches
-        pairs = topn_cosine_matches(
-            master_ell,
-            self._dupes_ell,
-            self._config.min_similarity,
-            max_n,
-            force_symmetries=self._config.force_symmetries,
-            hash_dim=self._config.hash_dim,
-            topn_slack=self._config.topn_slack,
-            left_chunk=self._config.left_chunk,
-            right_tile=self._config.right_tile,
-        )
+        with self.timings.phase("match"):
+            pairs = topn_cosine_matches(
+                master_ell,
+                self._dupes_ell,
+                self._config.min_similarity,
+                max_n,
+                force_symmetries=self._config.force_symmetries,
+                hash_dim=self._config.hash_dim,
+                topn_slack=self._config.topn_slack,
+                left_chunk=self._config.left_chunk,
+                right_tile=self._config.right_tile,
+            )
         self._true_max_n_matches = pairs.true_max_n_matches
-        self._matches_list = pd.DataFrame(
-            {
-                "master_side": pairs.rows.astype(np.int64),
-                "dupe_side": pairs.cols.astype(np.int64),
-                "similarity": pairs.sims.astype(self._config.tfidf_matrix_dtype),
-            }
-        )
+        with self.timings.phase("assemble"):
+            self._matches_list = pd.DataFrame(
+                {
+                    "master_side": pairs.rows.astype(np.int64),
+                    "dupe_side": pairs.cols.astype(np.int64),
+                    "similarity": pairs.sims.astype(self._config.tfidf_matrix_dtype),
+                }
+            )
         self.is_build = True
         return self
 
@@ -228,7 +236,11 @@ class StringGrouper:
         master_ell, dupes_ell = self._encoder.fit_transform_pair(
             list(self._master), list(self._duplicates)
         )
-        sims = master_ell.row_dot(dupes_ell).astype(self._config.tfidf_matrix_dtype)
+        from .ops.rescore import row_dot_fp64
+
+        sims = row_dot_fp64(master_ell, dupes_ell).astype(
+            self._config.tfidf_matrix_dtype
+        )
         return pd.Series(sims, name="similarity", index=self._master.index)
 
     # --------------------------------------------------------------- outputs

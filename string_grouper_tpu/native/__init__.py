@@ -1,0 +1,7 @@
+"""Native (C++/OpenMP) host kernels, built on first use and loaded via
+ctypes.  Falls back cleanly to numpy implementations when no compiler is
+available (see ops/rescore.py)."""
+
+from .build import get_scorer_lib
+
+__all__ = ["get_scorer_lib"]

@@ -1,0 +1,90 @@
+"""Build + load the native exact scorer.
+
+Compiles ``exact_scorer.cpp`` with the system C++ compiler into a cached
+shared library (keyed by source hash) and binds it with ctypes.  No
+pybind11/pip machinery: one translation unit, ``extern "C"`` ABI.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_SRC = Path(__file__).with_name("exact_scorer.cpp")
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+def _cache_dir() -> Path:
+    d = os.environ.get("STRING_GROUPER_TPU_NATIVE_CACHE")
+    if d:
+        p = Path(d)
+    else:
+        p = Path(tempfile.gettempdir()) / "string_grouper_tpu_native"
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def _build() -> Optional[Path]:
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = _cache_dir() / f"exact_scorer_{tag}.so"
+    if out.exists():
+        return out
+    tmp = out.with_suffix(".so.tmp")
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        str(_SRC), "-o", str(tmp),
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, timeout=120
+        )
+    except Exception:
+        return None
+    os.replace(tmp, out)
+    return out
+
+
+def get_scorer_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, building it on first call; None if no
+    compiler is available (numpy fallbacks are used instead)."""
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    if os.environ.get("STRING_GROUPER_TPU_NO_NATIVE"):
+        return None
+    path = _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.score_pairs_f64.restype = None
+    lib.score_pairs_f64.argtypes = [
+        p_i32, p_f64, i64, p_i32, p_f64, i64, p_i64, p_i64, i64, p_f64,
+    ]
+    lib.row_dot_f64.restype = None
+    lib.row_dot_f64.argtypes = [
+        p_i32, p_f64, i64, p_i32, p_f64, i64, i64, p_f64,
+    ]
+    p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.hash_project_bf16.restype = None
+    lib.hash_project_bf16.argtypes = [p_i32, p_f32, i64, i64, i64, p_u16]
+    _lib = lib
+    return _lib

@@ -2,21 +2,38 @@
 
 Pipeline (replaces reference ``_build_matches``, string_grouper.py:709-752):
 
-  phase 1 (MXU): hashed upper-bound scores ``A_hash @ B_hash.T`` for a chunk
-      of left rows against all right rows; threshold on the upper bound keeps
-      every true match (see ops/hashing.py for the bound proof) and selects
-      per-row candidate columns via ``lax.top_k``.
-  phase 2 (VPU): exact fp32 rescore of the gathered candidate ELL rows.
-  phase 3 (host): float64 refinement of decision boundaries (threshold
-      crossings and top-n cuts), exact per-row top-n selection with
-      deterministic tie-breaking (higher similarity first, then smaller
-      column), and self-join fix-ups (exact-1 diagonal + symmetrization,
-      reference string_grouper.py:419-427,954-964).
+  upload (host -> device, wire-minimal): each TF-IDF row is shipped as
+      packed int32 slots ``(hash_bucket << 16) | qval`` -- the value
+      quantized UPWARD to uint16 (ceil), so device-side scores stay upper
+      bounds.  4 bytes per nonzero instead of the 12-byte ELL entry or the
+      2-byte-per-bucket dense hash.
+  device hash: rows expand to dense ``hash_dim``-wide bfloat16 vectors by a
+      tiled compare-reduce (no scatter -- TPU scatters are slow).
+  phase 1 (device, MXU): hashed upper-bound scores ``A_hash @ B_hash.T``
+      streamed over right tiles (``lax.scan``).  Because TF-IDF values are
+      non-negative, hashed scores are a provable upper bound on the exact
+      cosine similarity (see ops/hashing.py), so thresholding them can
+      produce false positives but never false negatives.  Per tile the top
+      ``k_tile`` qualified columns are extracted by iterated max/argmax
+      (cheap VPU passes, no sorts), then one per-chunk top-C merge -- the
+      single-chip form of the reference's ``zip_sp_matmul_topn`` block
+      combine (string_grouper.py:746).
+  download: candidate column ids only (int32, -1 sentinel) plus one
+      per-row scalar (the smallest kept upper bound) for the exactness
+      check -- similarities never cross the wire.
+  phase 2 (host, native C++/OpenMP): exact float64 merge-scoring of the
+      shipped candidates (native/exact_scorer.cpp; numpy fallback), then
+      threshold + per-row top-n selection with deterministic tie-breaking
+      (higher similarity first, then smaller column), and self-join fix-ups
+      (exact-1 diagonal + symmetrization, reference
+      string_grouper.py:419-427,954-964).
 
-The adaptive C (candidate width) / K (shipped-per-row) loop guarantees no
-qualifying pair is dropped: C grows until it covers every upper-bound-
-qualified column, K grows while the K-th shipped score could still influence
-the top-n cut.
+Exactness: the adaptive driver guarantees no qualifying pair is dropped.
+``k_tile`` grows while any (row, tile) has more qualified columns than were
+extracted; the candidate width C grows while any row that overflowed C could
+still hide a pair that qualifies and beats the row's current exact top-n cut
+(dropped candidates are bounded above by the shipped smallest-kept upper
+bound).  All reported similarities are exact float64.
 """
 
 from __future__ import annotations
@@ -30,18 +47,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..corpus.tfidf import EllMatrix
-from .hashing import hashed_projection
-from .rescore import rescore_gathered, rescore_pairs_fp64
+from .rescore import rescore_pairs_fp64
 
-# Pairs below this total are fully rescored in float64 on the host (covers
-# conformance-scale inputs); above it only decision boundaries are refined.
-FULL_FP64_RESCORE_LIMIT = 2_000_000
-# fp32-vs-fp64 decision tolerance.
-_F32_TOL = 2e-6
+import logging
+
+logger = logging.getLogger("string_grouper_tpu")
+
 # Relative slack applied to the phase-1 upper-bound threshold to absorb
-# reduced-precision matmul error (bf16 passes on TPU).
+# reduced-precision arithmetic (bf16 matmul inputs, uint16 value
+# quantization).  Quantization inflates the bound (safe); bf16 rounding can
+# shrink it by <= ~0.8%, which this slack covers.
 _UB_REL_SLACK = 0.02
 _UB_ABS_SLACK = 1e-4
+# Upper-adjustment factor for shipped upper bounds when used to bound
+# dropped candidates: true_ub <= computed_ub * _UB_ADJ + _UB_ABS_SLACK.
+_UB_ADJ = 1.01
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
 
 
 @dataclass
@@ -59,94 +81,6 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, int(x - 1).bit_length())
 
 
-def _ub_topk_scan(
-    a_hash: jax.Array,  # (m, d) bf16
-    b_hash_tiles: jax.Array,  # (n_tiles, tile, d) bf16
-    thr_eff: jax.Array,  # f32 scalar
-    cand_c: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Tiled phase-1 filter: scan over right tiles, per tile an MXU matmul of
-    the hashed projections (bf16 inputs, f32 accumulation), threshold on the
-    upper bound, tile-local top-k, and a running top-k merge.
-
-    The running merge is the single-chip form of the reference's
-    ``zip_sp_matmul_topn`` block combine (string_grouper.py:746): top-k of
-    concatenated per-tile top-k results.  Returns (ub_vals, cols, counts).
-    """
-    m = a_hash.shape[0]
-    tile = b_hash_tiles.shape[1]
-    neg = jnp.float32(-jnp.inf)
-    tk = min(cand_c, tile)
-
-    offsets = jnp.arange(b_hash_tiles.shape[0], dtype=jnp.int32) * tile
-
-    def body_abs(carry, xs):
-        b_tile, off = xs
-        run_vals, run_cols, counts = carry
-        ub = jnp.dot(a_hash, b_tile.T, preferred_element_type=jnp.float32)
-        ubm = jnp.where(ub >= thr_eff, ub, neg)
-        counts = counts + (ubm > neg).sum(axis=1, dtype=jnp.int32)
-        tv, ti = jax.lax.top_k(ubm, tk)
-        cat_v = jnp.concatenate([run_vals, tv], axis=1)
-        cat_c = jnp.concatenate([run_cols, ti + off], axis=1)
-        mv, mi = jax.lax.top_k(cat_v, cand_c)
-        mc = jnp.take_along_axis(cat_c, mi, axis=1)
-        return (mv, mc, counts), None
-
-    init = (
-        jnp.full((m, cand_c), neg, jnp.float32),
-        jnp.zeros((m, cand_c), jnp.int32),
-        jnp.zeros((m,), jnp.int32),
-    )
-    (run_vals, run_cols, counts), _ = jax.lax.scan(
-        body_abs, init, (b_hash_tiles, offsets)
-    )
-    return run_vals, run_cols, counts
-
-
-def match_block(
-    a_ids: jax.Array,  # (m, La) int32
-    a_vals: jax.Array,  # (m, La) f32
-    a_hash: jax.Array,  # (m, d) bf16
-    b_ids: jax.Array,  # (n, Lb) int32
-    b_vals: jax.Array,  # (n, Lb) f32
-    b_hash_tiles: jax.Array,  # (n_tiles, tile, d) bf16
-    thr_eff: jax.Array,  # f32 scalar
-    cand_c: int,
-    top_k: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One left block against one right block (all its tiles).  Returns
-    (scores, cols, counts): per-row top_k exact-fp32 scores (desc), their
-    column ids local to this right block, and the per-row count of
-    upper-bound-qualified columns (for adaptive C).
-
-    Pure function: jitted directly for the single-chip path and called inside
-    ``shard_map`` by the distributed matcher (parallel/distributed.py), where
-    the right block is one device's shard.
-    """
-    neg = jnp.float32(-jnp.inf)
-    ub_vals, cand, counts = _ub_topk_scan(a_hash, b_hash_tiles, thr_eff, cand_c)
-    cand_valid = ub_vals > neg
-
-    gathered_ids = b_ids[cand]  # (m, C, Lb)
-    gathered_vals = b_vals[cand]
-    score = rescore_gathered(a_ids, a_vals, gathered_ids, gathered_vals)
-    # A pair qualifies only if it shares at least one n-gram (score > 0);
-    # hash-collision-only candidates rescore to exactly 0 and are dropped,
-    # matching the reference's sparse nonzero-structure semantics.
-    score = jnp.where(cand_valid & (score > 0), score, neg)
-    kvals, kidx = jax.lax.top_k(score, top_k)
-    kcols = jnp.take_along_axis(cand, kidx, axis=1)
-    return kvals, kcols, counts
-
-
-_match_chunk = partial(jax.jit, static_argnames=("cand_c", "top_k"))(match_block)
-
-
-def _as_f32_device(ell: EllMatrix) -> Tuple[jax.Array, jax.Array]:
-    return jnp.asarray(ell.ids), jnp.asarray(ell.vals64.astype(np.float32))
-
-
 def _pad_width(ell: EllMatrix, width: int) -> EllMatrix:
     if ell.width == width:
         return ell
@@ -156,152 +90,298 @@ def _pad_width(ell: EllMatrix, width: int) -> EllMatrix:
     return EllMatrix(ids=ids, vals64=vals, n_terms=ell.n_terms)
 
 
-def candidate_topk(
+def effective_threshold(min_similarity: float) -> np.float32:
+    """Device-side UB threshold with reduced-precision slack (-inf when no
+    threshold)."""
+    if min_similarity > 0:
+        return np.float32(min_similarity * (1 - _UB_REL_SLACK) - _UB_ABS_SLACK)
+    return np.float32(-np.inf)
+
+
+def initial_k_tile(min_similarity: float, n_right: int, tile: int, c0: int) -> int:
+    """Per-tile extraction width: small corpora rarely cluster within a
+    tile; large corpora get a bigger initial width to avoid a growth
+    re-compile."""
+    if min_similarity <= 0:
+        return min(tile, c0)
+    return 4 if n_right <= 65536 else 16
+
+
+def initial_cand_c(min_similarity: float, max_n: int, n_right: int, cap: int) -> int:
+    if min_similarity > 0:
+        return min(cap, max(64, _next_pow2(min(max_n, n_right) + 8)))
+    return cap
+
+
+# ------------------------------------------------------- upload + device hash
+def pack_hash_inputs(ell: EllMatrix, n_pad: int, dim: int) -> jax.Array:
+    """Quantize an ELL matrix into wire-minimal packed int32 slots:
+    ``(bucket << 16) | qval``.
+
+    bucket = Knuth multiplicative hash of the term id into [0, dim)
+    (requires dim <= 2^15); qval = ceil(value * 65535) in uint16 -- an
+    UPWARD quantization, preserving the upper-bound property while keeping
+    quantization inflation of the bound below ~2e-4.  Padding slots and
+    padding rows carry qval 0.
+    """
+    if dim > (1 << 15):
+        raise ValueError("hash_dim must be <= 32768")
+    ids = ell.ids
+    u = (ids.astype(np.int64) * _KNUTH) % (1 << 32)
+    b = (u >> (32 - int(dim).bit_length() + 1)).astype(np.int64)
+    q = np.ceil(ell.vals64 * 65535.0).clip(0, 65535).astype(np.int64)
+    packed = np.where(ids >= 0, (b << 16) | q, 0).astype(np.int32)
+    if n_pad > ell.n_rows:
+        packed = np.pad(packed, ((0, n_pad - ell.n_rows), (0, 0)))
+    return jnp.asarray(packed)
+
+
+@partial(jax.jit, static_argnames=("dim", "row_tile"))
+def _device_hash(
+    packed: jax.Array,  # (n, W) int32: (bucket << 16) | qval16
+    dim: int,
+    row_tile: int = 4096,
+) -> jax.Array:
+    """Expand packed (bucket, qval) rows into a dense (n, dim) bf16 hashed
+    projection by tiled compare-reduce (no scatter)."""
+    n, w = packed.shape
+    n_p = -(-n // row_tile) * row_tile
+    if n_p > n:
+        packed = jnp.pad(packed, ((0, n_p - n), (0, 0)))
+    pt = packed.reshape(n_p // row_tile, row_tile, w)
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, dim), 2)
+
+    def body(_, x):
+        b = jax.lax.shift_right_logical(x, 16)
+        v = (x & 0xFFFF).astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
+        h = jnp.where(b[:, :, None] == d_iota, v[:, :, None], 0.0).sum(axis=1)
+        return None, h.astype(jnp.bfloat16)
+
+    _, hs = jax.lax.scan(body, None, pt)
+    return hs.reshape(n_p, dim)[:n]
+
+
+def build_hash_matrix(ell: EllMatrix, n_pad: int, dim: int) -> jax.Array:
+    """Host quantization + device hashing: (n_pad, dim) bf16 projection."""
+    return _device_hash(pack_hash_inputs(ell, n_pad, dim), dim)
+
+
+# ------------------------------------------------------------------- phase 1
+def _ub_topk_scan(
+    a_hash: jax.Array,  # (m, d) bf16
+    b_hash_tiles: jax.Array,  # (n_tiles, tile, d) bf16
+    thr_eff: jax.Array,  # f32 scalar
+    cand_c: int,
+    k_tile: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Tiled phase-1 filter for one left chunk: scan over right tiles; per
+    tile an MXU matmul of the hashed projections (bf16 inputs, f32
+    accumulation), threshold on the upper bound, and extraction of the
+    tile-local top ``k_tile`` hits by iterated max/argmax.  The per-tile
+    hits are concatenated across tiles and, when wider than ``cand_c``,
+    reduced with a single per-chunk top-k.
+
+    Returns (ub_vals (m, W), cols (m, W), counts (m,), max_tile_cnt):
+    candidate upper-bound scores (desc; -inf = none), their column ids, the
+    per-row count of threshold-qualified columns, and the maximum
+    per-(row, tile) qualified count (for adaptive ``k_tile`` growth).
+    """
+    m = a_hash.shape[0]
+    tile = b_hash_tiles.shape[1]
+    n_tiles = b_hash_tiles.shape[0]
+    neg = jnp.float32(-jnp.inf)
+    kt = min(k_tile, tile)
+
+    offsets = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (m, tile), 1)
+
+    def body(carry, xs):
+        b_tile, off = xs
+        counts, max_cnt = carry
+        ub = jnp.dot(a_hash, b_tile.T, preferred_element_type=jnp.float32)
+        ubm = jnp.where(ub >= thr_eff, ub, neg)
+        cnt = (ubm > neg).sum(axis=1, dtype=jnp.int32)
+        counts = counts + cnt
+        max_cnt = jnp.maximum(max_cnt, cnt.max())
+        if kt <= 8:
+            # Iterated max/argmax: a few cheap VPU passes, no sort.
+            vs = []
+            cs = []
+            cur = ubm
+            for _ in range(kt):
+                v = cur.max(axis=1)
+                i = jnp.argmax(cur, axis=1).astype(jnp.int32)
+                vs.append(v)
+                cs.append(i + off)
+                # Mask out the extracted column (full-width select:
+                # TPU-friendly, no scatter).
+                cur = jnp.where(col_iota == i[:, None], neg, cur)
+            tv = jnp.stack(vs, axis=1)  # (m, kt)
+            tc = jnp.stack(cs, axis=1)
+        else:
+            tv, ti = jax.lax.top_k(ubm, kt)
+            tc = ti + off
+        return (counts, max_cnt), (tv, tc)
+
+    init = (jnp.zeros((m,), jnp.int32), jnp.int32(0))
+    (counts, max_cnt), (tv, tc) = jax.lax.scan(
+        body, init, (b_hash_tiles, offsets)
+    )
+    # (n_tiles, m, kt) -> (m, n_tiles * kt)
+    w_vals = jnp.swapaxes(tv, 0, 1).reshape(m, n_tiles * kt)
+    w_cols = jnp.swapaxes(tc, 0, 1).reshape(m, n_tiles * kt)
+    if n_tiles * kt > cand_c:
+        w_vals, idx = jax.lax.top_k(w_vals, cand_c)
+        w_cols = jnp.take_along_axis(w_cols, idx, axis=1)
+    return w_vals, w_cols, counts, max_cnt
+
+
+def match_block(
+    a_hash: jax.Array,  # (m, d) bf16
+    b_hash_tiles: jax.Array,  # (n_tiles, tile, d) bf16
+    thr_eff: jax.Array,  # f32 scalar
+    cand_c: int,
+    k_tile: int = 4,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One left block against one right block: the phase-1 candidate
+    selector.  Pure function: jitted (inside the corpus scan) for the
+    single-chip path and called inside ``shard_map`` by the distributed
+    matcher (parallel/distributed.py), where the right block is one device's
+    shard."""
+    return _ub_topk_scan(a_hash, b_hash_tiles, thr_eff, cand_c, k_tile)
+
+
+def finalize_ship(w_vals: jax.Array, w_cols: jax.Array):
+    """Wire format for the download: sentinel columns + smallest kept UB."""
+    neg = jnp.float32(-jnp.inf)
+    cols = jnp.where(w_vals > neg, w_cols, -1)
+    ub_last = w_vals[:, -1]
+    return cols, ub_last
+
+
+@partial(jax.jit, static_argnames=("cand_c", "k_tile"))
+def _corpus_match(
+    a_hash_chunks: jax.Array,  # (n_chunks, chunk, d) bf16
+    b_hash_tiles: jax.Array,  # (n_tiles, tile, d) bf16
+    thr_eff: jax.Array,
+    cand_c: int,
+    k_tile: int,
+):
+    """Whole-corpus phase 1 in ONE device program: outer scan over left
+    chunks, inner scan over right tiles.  One dispatch per fit instead of
+    one per chunk; only column ids + one scalar per row leave the device."""
+
+    def chunk_body(_, a_hash):
+        w_vals, w_cols, counts, max_cnt = _ub_topk_scan(
+            a_hash, b_hash_tiles, thr_eff, cand_c, k_tile
+        )
+        cols, ub_last = finalize_ship(w_vals, w_cols)
+        return None, (cols, ub_last, counts, max_cnt)
+
+    _, (cols, ub_last, counts, max_cnt) = jax.lax.scan(
+        chunk_body, None, a_hash_chunks
+    )
+    return cols, ub_last, counts, max_cnt.max()
+
+
+# -------------------------------------------------------------- host driver
+def _phase1_single(
     left: EllMatrix,
     right: EllMatrix,
-    min_similarity: float,
-    max_n: int,
+    is_self: bool,
     hash_dim: int,
-    topn_slack: int,
     left_chunk: int,
-    right_tile: int = 4096,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Run the device phases over all left chunks.
-
-    Returns ``(kvals, kcols)`` of shape (n_left, K): per-row exact-fp32
-    scores (descending; -inf = no candidate) and their right-row indices.
-    """
-    # Bucket shapes to powers of two to bound the number of compiled
-    # programs: pad ELL width, right-row count, and left chunks.  Padding
-    # rows carry ids=-1 / vals=0, so they hash to zero vectors and rescore
-    # to 0, and are dropped by the score>0 qualifier.
-    width = _next_pow2(max(left.width, right.width, 8))
-    left = _pad_width(left, width)
-    right = _pad_width(right, width)
+    right_tile: int,
+):
+    """Build device-resident hash matrices once; return a phase-1 callable
+    ``run(thr_eff, cand_c, k_tile) -> (cols, ub_last, counts, max_cnt)``
+    plus the growth caps (c_cap, kt_cap)."""
     n_left, n_right = left.n_rows, right.n_rows
-    # Pad right rows to a whole number of phase-1 tiles.
     tile = min(right_tile, _next_pow2(max(n_right, 8)))
     n_right_p = -(-n_right // tile) * tile
-
-    b_ids_h = np.full((n_right_p, width), -1, dtype=np.int32)
-    b_vals_h = np.zeros((n_right_p, width), dtype=np.float32)
-    b_ids_h[:n_right] = right.ids
-    b_vals_h[:n_right] = right.vals64.astype(np.float32)
-    b_ids, b_vals = jnp.asarray(b_ids_h), jnp.asarray(b_vals_h)
-    # bf16 hashed projections: the UB threshold carries a relative slack that
-    # absorbs the bf16 rounding of the MXU inputs (accumulation stays f32).
-    b_hash_tiles = (
-        hashed_projection(b_ids, b_vals, hash_dim)
-        .astype(jnp.bfloat16)
-        .reshape(n_right_p // tile, tile, hash_dim)
-    )
-    a_ids_h, a_vals_h = left.ids, left.vals64.astype(np.float32)
-
-    if min_similarity > 0:
-        thr_eff = np.float32(
-            min_similarity * (1 - _UB_REL_SLACK) - _UB_ABS_SLACK
-        )
-        c0 = min(n_right_p, max(64, _next_pow2(4 * min(max_n, n_right))))
-    else:
-        thr_eff = np.float32(-np.inf)
-        c0 = n_right_p
-
-    max_n_eff = min(max_n, n_right)
-    k0 = min(c0, _next_pow2(max_n_eff + topn_slack))
-
     chunk = min(left_chunk, _next_pow2(max(n_left, 8)))
-    all_vals = []
-    all_cols = []
-    for s in range(0, n_left, chunk):
-        e = min(s + chunk, n_left)
-        m = e - s
-        a_ids = np.full((chunk, width), -1, dtype=np.int32)
-        a_vals = np.zeros((chunk, width), dtype=np.float32)
-        a_ids[:m] = a_ids_h[s:e]
-        a_vals[:m] = a_vals_h[s:e]
-        a_ids_d = jnp.asarray(a_ids)
-        a_vals_d = jnp.asarray(a_vals)
-        a_hash = hashed_projection(a_ids_d, a_vals_d, hash_dim).astype(
-            jnp.bfloat16
+    n_left_p = -(-n_left // chunk) * chunk
+
+    b_hash = build_hash_matrix(right, n_right_p, hash_dim)
+    b_hash_tiles = b_hash.reshape(n_right_p // tile, tile, hash_dim)
+    if is_self and n_left_p <= n_right_p:
+        a_hash_chunks = b_hash[:n_left_p].reshape(-1, chunk, hash_dim)
+    else:
+        a_hash_chunks = build_hash_matrix(left, n_left_p, hash_dim).reshape(
+            -1, chunk, hash_dim
         )
 
-        c, k = c0, k0
-        while True:
-            kvals, kcols, counts = _match_chunk(
-                a_ids_d, a_vals_d, a_hash, b_ids, b_vals, b_hash_tiles,
-                jnp.float32(thr_eff), c, k,
-            )
-            counts = np.asarray(counts[:m])
-            if counts.max(initial=0) > c:
-                c = min(n_right_p, _next_pow2(int(counts.max())))
-                k = min(c, k)
-                continue
-            kv = np.asarray(kvals[:m])
-            if k < c and k < n_right:
-                # The K-th shipped score may still qualify and sit within
-                # fp32 tolerance of the top-n cut: ship more.
-                cut = kv[:, min(max_n_eff, k) - 1]
-                kth = kv[:, k - 1]
-                qual_low = (min_similarity - _F32_TOL) if min_similarity > 0 else 0.0
-                unsafe = (kth >= qual_low) & (
-                    (max_n_eff > k) | (kth >= cut - _F32_TOL)
-                )
-                if unsafe.any():
-                    k = min(c, k * 2)
-                    continue
-            break
-        all_vals.append(kv)
-        all_cols.append(np.asarray(kcols[:m]))
+    def run(thr_eff, cand_c, k_tile):
+        cols, ub_last, counts, max_cnt = _corpus_match(
+            a_hash_chunks, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile
+        )
+        w = cols.shape[-1]
+        return (
+            np.asarray(cols).reshape(-1, w)[:n_left],
+            np.asarray(ub_last).reshape(-1)[:n_left],
+            np.asarray(counts).reshape(-1)[:n_left],
+            int(max_cnt),
+        )
 
-    # Ragged K across chunks: pad to the max.
-    kmax = max(v.shape[1] for v in all_vals)
-    for i in range(len(all_vals)):
-        pad = kmax - all_vals[i].shape[1]
-        if pad:
-            all_vals[i] = np.pad(all_vals[i], ((0, 0), (0, pad)), constant_values=-np.inf)
-            all_cols[i] = np.pad(all_cols[i], ((0, 0), (0, pad)))
-    return np.concatenate(all_vals), np.concatenate(all_cols)
+    a_flat = a_hash_chunks.reshape(-1, hash_dim)
+
+    def run_rows(row_idx: np.ndarray, thr_eff, cand_c, k_tile):
+        """Phase 1 restricted to the given left rows (hot-row escalation):
+        device-gathers those rows' hash vectors and matches them at a larger
+        candidate width, so one skewed row never inflates the whole
+        corpus's download."""
+        m = len(row_idx)
+        m_p = -(-m // chunk) * chunk
+        idx = np.zeros(m_p, dtype=np.int32)
+        idx[:m] = row_idx
+        a_sel = a_flat[jnp.asarray(idx)].reshape(-1, chunk, hash_dim)
+        cols, ub_last, counts, max_cnt = _corpus_match(
+            a_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile
+        )
+        w = cols.shape[-1]
+        return (
+            np.asarray(cols).reshape(-1, w)[:m],
+            np.asarray(ub_last).reshape(-1)[:m],
+        )
+
+    n_tiles = n_right_p // tile
+    return run, run_rows, n_right_p, tile, n_tiles
 
 
-def select_matches(
-    left: EllMatrix,
-    right: EllMatrix,
-    kvals: np.ndarray,
-    kcols: np.ndarray,
+def _pairs_from_ship(cols: np.ndarray, n_right: int, row_ids=None):
+    """Flatten a shipped (m, W) sentinel-column matrix into (rows, cols)
+    pair arrays.  ``row_ids`` maps local row positions to global rows."""
+    valid = (cols >= 0) & (cols < n_right)
+    m = cols.shape[0]
+    if row_ids is None:
+        row_ids = np.arange(m, dtype=np.int64)
+    rows_b = np.broadcast_to(row_ids[:, None], cols.shape)
+    return (
+        np.ascontiguousarray(rows_b[valid]),
+        np.ascontiguousarray(cols[valid].astype(np.int64)),
+    )
+
+
+def _select_topn(
+    rows_f: np.ndarray,
+    cols_f: np.ndarray,
+    sims: np.ndarray,
+    n_left: int,
     min_similarity: float,
     max_n: int,
-) -> MatchPairs:
-    """Float64 boundary refinement + exact per-row top-n selection."""
-    n_left, k = kvals.shape
-    valid = np.isfinite(kvals)
-    rows = np.broadcast_to(np.arange(n_left, dtype=np.int64)[:, None], kvals.shape)
+):
+    """Per-row top-n selection over scored pairs.
 
-    rows_f = rows[valid]
-    cols_f = kcols[valid].astype(np.int64)
-    s32 = kvals[valid].astype(np.float64)
-
-    if len(rows_f) <= FULL_FP64_RESCORE_LIMIT:
-        sims = rescore_pairs_fp64(left, right, rows_f, cols_f)
-    else:
-        sims = s32.copy()
-        # Refine only decision boundaries in fp64.
-        cut_idx = min(max_n, k) - 1
-        row_cut = np.where(valid[:, cut_idx], kvals[:, cut_idx], -np.inf)
-        tol = _F32_TOL * max(1.0, abs(min_similarity))
-        ambiguous = (np.abs(s32 - min_similarity) <= tol) | (
-            np.abs(s32 - row_cut[rows_f]) <= _F32_TOL
-        )
-        if ambiguous.any():
-            sims[ambiguous] = rescore_pairs_fp64(
-                left, right, rows_f[ambiguous], cols_f[ambiguous]
-            )
-
+    Returns (rows_s, cols_s, sims_s, kept_q, row_cut): selected pairs sorted
+    (row asc, sim desc, col asc), per-row qualified counts, and the per-row
+    exact top-n cut (-inf when fewer than max_n qualified)."""
     qualify = (sims > 0) & (sims >= min_similarity)
     rows_q, cols_q, sims_q = rows_f[qualify], cols_f[qualify], sims[qualify]
+    kept_q = np.bincount(rows_q, minlength=n_left)
 
-    # Per-row top-n, deterministic: similarity desc, then column asc.
     order = np.lexsort((cols_q, -sims_q, rows_q))
     rows_s, cols_s, sims_s = rows_q[order], cols_q[order], sims_q[order]
+    row_cut = np.full(n_left, -np.inf)
     if len(rows_s):
         new_row = np.r_[True, rows_s[1:] != rows_s[:-1]]
         grp_start = np.maximum.accumulate(
@@ -309,13 +389,122 @@ def select_matches(
         )
         rank = np.arange(len(rows_s)) - grp_start
         keep = rank < max_n
+        # Exact top-n cut: similarity of the max_n-th kept pair per row.
+        at_cut = rank == max_n - 1
+        row_cut[rows_s[at_cut]] = sims_s[at_cut]
         rows_s, cols_s, sims_s = rows_s[keep], cols_s[keep], sims_s[keep]
-        true_max = int(np.bincount(rows_s, minlength=n_left).max(initial=0))
+    return rows_s, cols_s, sims_s, kept_q, row_cut
+
+
+def adaptive_topn(
+    phase1_run,
+    left: EllMatrix,
+    right: EllMatrix,
+    min_similarity: float,
+    max_n: int,
+    *,
+    c_cap: int,
+    kt_cap: int,
+    n_tiles: int,
+    c0: int,
+    kt0: int,
+    phase1_run_rows=None,
+) -> MatchPairs:
+    """Adaptive driver shared by the single-chip and distributed paths:
+    grows k_tile / candidate width until the exact result is provably
+    complete, then returns the selected pairs.
+
+    With ``phase1_run_rows`` (single-chip path), rows whose candidate
+    overflow is unresolvable at the global width are re-matched
+    individually at escalated width -- one hot row never inflates the
+    corpus-wide download.  Without it, the candidate width grows globally.
+    """
+    n_left = left.n_rows
+    max_n_eff = min(max_n, right.n_rows)
+    qual_low = min_similarity if min_similarity > 0 else 0.0
+    c, kt = c0, kt0
+    while True:
+        logger.debug("phase1: C=%d k_tile=%d", c, kt)
+        cols, ub_last, counts, max_cnt = phase1_run(
+            effective_threshold(min_similarity), c, kt
+        )
+        logger.debug(
+            "phase1 done: max_cnt=%d counts.max=%d",
+            max_cnt, int(counts.max(initial=0)),
+        )
+        if max_cnt > kt and kt < kt_cap:
+            kt = min(kt_cap, _next_pow2(max_cnt))
+            continue
+        if phase1_run_rows is None and n_tiles * kt > c and c < c_cap:
+            # Global-growth fallback: coverage when every row's qualified
+            # count fits the global width.
+            if counts.max(initial=0) > c:
+                c = min(c_cap, _next_pow2(int(counts.max())))
+                continue
+        break
+
+    rows_f, cols_f = _pairs_from_ship(cols, right.n_rows)
+    sims = rescore_pairs_fp64(left, right, rows_f, cols_f)
+    c_row = np.full(n_left, c, dtype=np.int64)
+    ub_bound = ub_last.astype(np.float64)
+
+    while True:
+        rows_s, cols_s, sims_s, kept_q, row_cut = _select_topn(
+            rows_f, cols_f, sims, n_left, min_similarity, max_n_eff
+        )
+        # Rows that overflowed their candidate width may have dropped
+        # candidates; dropped upper bounds are <= the smallest kept
+        # (shipped) upper bound.  Cosine of L2-normalized rows never
+        # exceeds 1, so dropped candidates are bounded by min(adjusted
+        # ub, 1).  The cut comparison is strict: a dropped candidate whose
+        # exact similarity EQUALS the cut can only be a structural clone of
+        # a kept one, and clones have bitwise-identical upper bounds, so
+        # the stable device top-k already kept the lower column ids (the
+        # reference's tie-break winners).
+        adj = np.minimum(ub_bound * _UB_ADJ + _UB_ABS_SLACK, 1.0)
+        unsafe = (
+            (counts > c_row)
+            & (c_row < n_tiles * kt)
+            & (adj >= qual_low)
+            & ((kept_q < max_n_eff) | (adj > row_cut))
+        )
+        if not unsafe.any() or phase1_run_rows is None:
+            break
+        idx = np.flatnonzero(unsafe)
+        needed = min(
+            _next_pow2(int(counts[idx].max())), _next_pow2(n_tiles * kt)
+        )
+        c_big = min(max(c_cap, 1), needed)
+        if c_big <= int(c_row[idx].min()):
+            break  # cannot widen further
+        logger.debug("escalate %d rows to C=%d", len(idx), c_big)
+        sub_cols, sub_ub_last = phase1_run_rows(
+            idx, effective_threshold(min_similarity), c_big, kt
+        )
+        sub_rows, sub_cols_f = _pairs_from_ship(
+            sub_cols, right.n_rows, row_ids=idx.astype(np.int64)
+        )
+        sub_sims = rescore_pairs_fp64(left, right, sub_rows, sub_cols_f)
+        # Replace the escalated rows' pairs wholesale (the re-run returns a
+        # superset of their previous candidates).
+        in_idx = np.zeros(n_left, dtype=bool)
+        in_idx[idx] = True
+        keep_old = ~in_idx[rows_f]
+        rows_f = np.concatenate([rows_f[keep_old], sub_rows])
+        cols_f = np.concatenate([cols_f[keep_old], sub_cols_f])
+        sims = np.concatenate([sims[keep_old], sub_sims])
+        c_row[idx] = c_big
+        ub_bound[idx] = sub_ub_last
+    if len(rows_s):
+        true_max = int(np.bincount(rows_s, minlength=left.n_rows).max(initial=0))
     else:
         true_max = 0
-    return MatchPairs(rows=rows_s, cols=cols_s, sims=sims_s, true_max_n_matches=true_max)
+    return MatchPairs(
+        rows=rows_s, cols=cols_s, sims=sims_s, true_max_n_matches=true_max
+    )
 
 
+# ------------------------------------------------------------- post-fix-ups
 def apply_self_join_fixups(pairs: MatchPairs, n: int) -> MatchPairs:
     """Exact-1 diagonal + symmetric closure for self-joins
     (reference string_grouper.py:419-427, :954-964)."""
@@ -367,7 +556,7 @@ def topn_cosine_matches(
     *,
     force_symmetries: bool = True,
     hash_dim: int = 1024,
-    topn_slack: int = 8,
+    topn_slack: int = 8,  # legacy knob; selection is now always complete
     left_chunk: int = 4096,
     right_tile: int = 4096,
 ) -> MatchPairs:
@@ -376,14 +565,25 @@ def topn_cosine_matches(
     ``right=None`` means self-join (reference: duplicate_matrix = master
     matrix, string_grouper.py:693-695).
     """
+    del topn_slack
     is_self = right is None
     right_m = left if is_self else right
+    # Equalize ELL widths so host scoring sees consistent padding.
+    width = _next_pow2(max(left.width, right_m.width, 8))
+    left = _pad_width(left, width)
+    right_m = left if is_self else _pad_width(right_m, width)
     max_n = right_m.n_rows if max_n_matches is None else max_n_matches
-    kvals, kcols = candidate_topk(
-        left, right_m, min_similarity, max_n, hash_dim, topn_slack,
-        left_chunk, right_tile,
+
+    run, run_rows, n_right_p, tile, n_tiles = _phase1_single(
+        left, right_m, is_self, hash_dim, left_chunk, right_tile
     )
-    pairs = select_matches(left, right_m, kvals, kcols, min_similarity, max_n)
+    c0 = initial_cand_c(min_similarity, max_n, right_m.n_rows, n_right_p)
+    kt0 = initial_k_tile(min_similarity, right_m.n_rows, tile, c0)
+    pairs = adaptive_topn(
+        run, left, right_m, min_similarity, max_n,
+        c_cap=n_right_p, kt_cap=tile, n_tiles=n_tiles, c0=c0, kt0=kt0,
+        phase1_run_rows=run_rows,
+    )
     if is_self and force_symmetries:
         return apply_self_join_fixups(pairs, left.n_rows)
     return order_like_reference_csr(pairs)

@@ -2,7 +2,6 @@
 collective TF-IDF reductions."""
 
 from .distributed import (
-    distributed_candidate_topk,
     distributed_df_counts,
     distributed_topn_cosine_matches,
     make_mesh,
@@ -10,7 +9,6 @@ from .distributed import (
 )
 
 __all__ = [
-    "distributed_candidate_topk",
     "distributed_df_counts",
     "distributed_topn_cosine_matches",
     "make_mesh",

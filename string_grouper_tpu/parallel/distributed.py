@@ -6,20 +6,21 @@ string_grouper/string_grouper.py:709-752) becomes a 2-D device mesh:
   * axis ``dp`` -- left (master) rows, data-parallel: each mesh row processes
     its own chunk of left strings;
   * axis ``mp`` -- right (candidate) rows: each mesh column holds a shard of
-    the right ELL matrix and of its hashed projection.
+    the right hashed projection.
 
-Per device, the single-chip two-phase matcher (ops/matcher.py
-``match_block``) runs on the local (left-chunk x right-shard) block.  The
-per-shard top-k results are merged with an ``all_gather`` over ``mp``
-followed by a top-k of the concatenation -- the collective form of the
-reference's ``zip_sp_matmul_topn`` merge (string_grouper.py:746).
-Qualified-candidate counts are ``psum``'d over ``mp`` so the host-side
-adaptive candidate-width loop sees global counts, preserving the single-chip
-no-drop guarantee: shard count never changes the returned pair set.
+Per device, the phase-1 candidate selector (ops/matcher.py ``match_block``)
+runs on the local (left-chunk x right-shard) block.  The per-shard top-C
+upper-bound results are merged with an ``all_gather`` over ``mp`` followed
+by a sort of the concatenation -- the collective form of the reference's
+``zip_sp_matmul_topn`` merge (string_grouper.py:746).  Qualified-candidate
+counts are ``psum``'d over ``mp`` so the host-side adaptive candidate-width
+loop sees global counts, preserving the single-chip no-drop guarantee:
+shard count never changes the returned pair set.  Exact float64 scoring of
+the shipped candidates is the same host phase 2 as the single-chip path.
 
 Document-frequency counts for a corpus sharded over devices reduce with
-``jax.lax.psum`` (:func:`distributed_df_counts`), yielding the replicated IDF
-vector -- the collective form of TfidfVectorizer's DF pass (reference
+``jax.lax.psum`` (:func:`distributed_df_counts`), yielding the replicated
+IDF vector -- the collective form of TfidfVectorizer's DF pass (reference
 string_grouper.py:699-707) for corpora too large for one host.
 """
 
@@ -35,25 +36,23 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..corpus.tfidf import EllMatrix
-from ..ops.hashing import hashed_projection
 from ..ops.matcher import (
     MatchPairs,
     _next_pow2,
     _pad_width,
-    _UB_REL_SLACK,
-    _UB_ABS_SLACK,
-    _F32_TOL,
+    adaptive_topn,
     apply_self_join_fixups,
+    build_hash_matrix,
+    initial_cand_c,
+    initial_k_tile,
     match_block,
     order_like_reference_csr,
-    select_matches,
 )
 
 __all__ = [
     "make_mesh",
     "distributed_df_counts",
     "replicated_idf",
-    "distributed_candidate_topk",
     "distributed_topn_cosine_matches",
 ]
 
@@ -89,163 +88,121 @@ def replicated_idf(df: jax.Array, n_docs: jax.Array) -> jax.Array:
 
 
 # ------------------------------------------------------------------- matching
-def _local_block(
-    a_ids, a_vals, a_hash, b_ids, b_vals, b_hash_tiles, thr_eff,
-    *, cand_c: int, top_k: int,
-):
-    """Per-device body: local match + cross-shard top-k merge."""
-    n_loc = b_ids.shape[0]
-    kvals, kcols, counts = match_block(
-        a_ids, a_vals, a_hash, b_ids, b_vals, b_hash_tiles, thr_eff,
-        cand_c, top_k,
+def _local_block(a_hash, b_hash_tiles, thr_eff, *, cand_c: int, k_tile: int):
+    """Per-device body: local phase-1 + cross-shard candidate gather.
+
+    Candidates merge by concatenation (``all_gather`` over ``mp``) -- the
+    collective form of the reference's ``zip_sp_matmul_topn`` combine
+    (string_grouper.py:746); no re-sort is needed because the host scores
+    every shipped candidate exactly.  Per-shard overflow state (max
+    per-shard qualified count, smallest kept upper bound) reduces with
+    ``pmax`` so the host driver's growth checks see the tightest per-shard
+    bounds.
+    """
+    n_loc = b_hash_tiles.shape[0] * b_hash_tiles.shape[1]
+    w_vals, w_cols, counts, max_cnt = match_block(
+        a_hash, b_hash_tiles, thr_eff, cand_c, k_tile
     )
-    kcols = kcols + jax.lax.axis_index("mp") * n_loc
-    # zip-merge across right shards: gather every shard's top-k and merge-sort
-    # the concatenation (descending).  The full mp*k width is kept -- for
-    # min_similarity <= 0 every positive-similarity pair must ship, and the
-    # global capacity for that is mp shards x k rows, not k.
-    gv = jax.lax.all_gather(kvals, "mp")  # (mp, m, K)
-    gc = jax.lax.all_gather(kcols, "mp")
-    mp_sz = gv.shape[0]
-    m = gv.shape[1]
-    gv = jnp.swapaxes(gv, 0, 1).reshape(m, mp_sz * top_k)
-    gc = jnp.swapaxes(gc, 0, 1).reshape(m, mp_sz * top_k)
-    mv, mi = jax.lax.top_k(gv, mp_sz * top_k)
-    mc = jnp.take_along_axis(gc, mi, axis=1)
-    counts = jax.lax.psum(counts, "mp")
-    return mv, mc, counts
+    neg = jnp.float32(-jnp.inf)
+    cols_loc = jnp.where(
+        w_vals > neg, w_cols + jax.lax.axis_index("mp") * n_loc, -1
+    )
+    ub_last_loc = w_vals[:, -1]
+    gc = jax.lax.all_gather(cols_loc, "mp")  # (mp, m, W)
+    mp_sz, m, w = gc.shape
+    cols = jnp.swapaxes(gc, 0, 1).reshape(m, mp_sz * w)
+    # Per-shard maxima: a shard drops candidates only against its own caps.
+    counts = jax.lax.pmax(counts, "mp")
+    ub_last = jax.lax.pmax(ub_last_loc, "mp")
+    max_cnt = jax.lax.pmax(max_cnt, ("dp", "mp"))
+    return cols, ub_last, counts, max_cnt
 
 
-@partial(jax.jit, static_argnames=("mesh", "cand_c", "top_k"))
+@partial(jax.jit, static_argnames=("mesh", "cand_c", "k_tile"))
 def _dist_match(
-    mesh: Mesh,
-    a_ids, a_vals, a_hash, b_ids, b_vals, b_hash_tiles, thr_eff,
-    cand_c: int, top_k: int,
+    mesh: Mesh, a_hash_chunks, b_hash_tiles, thr_eff, cand_c: int, k_tile: int
 ):
+    """Sharded corpus phase 1: outer scan over left super-chunks, per-device
+    local matching inside ``shard_map``."""
+
+    def scan_over_chunks(a_chunks_loc, b_tiles_loc, thr):
+        def chunk_body(_, a_hash):
+            out = _local_block(
+                a_hash, b_tiles_loc, thr, cand_c=cand_c, k_tile=k_tile
+            )
+            return None, out
+
+        _, (cols, ub_last, counts, max_cnt) = jax.lax.scan(
+            chunk_body, None, a_chunks_loc
+        )
+        return cols, ub_last, counts, max_cnt.max()
+
     fn = shard_map(
-        partial(_local_block, cand_c=cand_c, top_k=top_k),
+        scan_over_chunks,
         mesh=mesh,
         in_specs=(
-            P("dp", None),  # a_ids
-            P("dp", None),  # a_vals
-            P("dp", None),  # a_hash
-            P("mp", None),  # b_ids
-            P("mp", None),  # b_vals
+            P(None, "dp", None),  # a_hash_chunks (n_sc, chunk, d): rows over dp
             P("mp", None, None),  # b_hash_tiles
             P(),  # thr_eff
         ),
-        out_specs=(P("dp", None), P("dp", None), P("dp")),
+        out_specs=(
+            P(None, "dp", None),
+            P(None, "dp"),
+            P(None, "dp"),
+            P(),
+        ),
         check_vma=False,
     )
-    return fn(a_ids, a_vals, a_hash, b_ids, b_vals, b_hash_tiles, thr_eff)
+    return fn(a_hash_chunks, b_hash_tiles, thr_eff)
 
 
-def distributed_candidate_topk(
+def _phase1_distributed(
     left: EllMatrix,
     right: EllMatrix,
-    min_similarity: float,
-    max_n: int,
+    is_self: bool,
     mesh: Mesh,
-    hash_dim: int = 1024,
-    topn_slack: int = 8,
-    left_chunk: int = 4096,
-    right_tile: int = 4096,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Sharded equivalent of ops.matcher.candidate_topk: same return contract
-    (per-left-row exact-fp32 top-K scores + columns), mesh-size invariant."""
+    hash_dim: int,
+    left_chunk: int,
+    right_tile: int,
+):
+    """Device-resident sharded hash matrices + phase-1 closure for the
+    shared adaptive driver."""
     dp = mesh.shape["dp"]
     mp = mesh.shape["mp"]
-
-    width = _next_pow2(max(left.width, right.width, 8))
-    left = _pad_width(left, width)
-    right = _pad_width(right, width)
     n_left, n_right = left.n_rows, right.n_rows
 
     # Right rows: pad to mp shards of a whole number of tiles each.
     tile = min(right_tile, _next_pow2(max(-(-n_right // mp), 8)))
     n_loc = -(-n_right // (mp * tile)) * tile
     n_right_p = n_loc * mp
-    b_ids_h = np.full((n_right_p, width), -1, dtype=np.int32)
-    b_vals_h = np.zeros((n_right_p, width), dtype=np.float32)
-    b_ids_h[:n_right] = right.ids
-    b_vals_h[:n_right] = right.vals64.astype(np.float32)
-    b_ids, b_vals = jnp.asarray(b_ids_h), jnp.asarray(b_vals_h)
-    b_hash_tiles = (
-        hashed_projection(b_ids, b_vals, hash_dim)
-        .astype(jnp.bfloat16)
-        .reshape(n_right_p // tile, tile, hash_dim)
-    )
-    a_ids_h, a_vals_h = left.ids, left.vals64.astype(np.float32)
-
-    if min_similarity > 0:
-        thr_eff = np.float32(min_similarity * (1 - _UB_REL_SLACK) - _UB_ABS_SLACK)
-        c0 = min(n_loc, max(64, _next_pow2(4 * min(max_n, n_right))))
-    else:
-        thr_eff = np.float32(-np.inf)
-        c0 = n_loc
-
-    max_n_eff = min(max_n, n_right)
-    k0 = min(c0, _next_pow2(max_n_eff + topn_slack))
+    n_tiles_loc = n_loc // tile
+    b_hash = build_hash_matrix(right, n_right_p, hash_dim)
+    b_hash_tiles = b_hash.reshape(n_right_p // tile, tile, hash_dim)
 
     # Left rows: super-chunks of dp local chunks.
     chunk_loc = min(left_chunk, _next_pow2(max(-(-n_left // dp), 8)))
-    chunk = chunk_loc * dp
-    all_vals, all_cols = [], []
-    for s in range(0, n_left, chunk):
-        e = min(s + chunk, n_left)
-        m = e - s
-        a_ids = np.full((chunk, width), -1, dtype=np.int32)
-        a_vals = np.zeros((chunk, width), dtype=np.float32)
-        a_ids[:m] = a_ids_h[s:e]
-        a_vals[:m] = a_vals_h[s:e]
-        a_ids_d = jnp.asarray(a_ids)
-        a_vals_d = jnp.asarray(a_vals)
-        a_hash = hashed_projection(a_ids_d, a_vals_d, hash_dim).astype(
-            jnp.bfloat16
+    sc = chunk_loc * dp
+    n_left_p = -(-n_left // sc) * sc
+    if is_self and n_left_p <= n_right_p:
+        a_hash = b_hash[:n_left_p]
+    else:
+        a_hash = build_hash_matrix(left, n_left_p, hash_dim)
+    a_hash_chunks = a_hash.reshape(n_left_p // sc, sc, hash_dim)
+
+    def run(thr_eff, cand_c, k_tile):
+        cols, ub_last, counts, max_cnt = _dist_match(
+            mesh, a_hash_chunks, b_hash_tiles, jnp.float32(thr_eff),
+            cand_c, k_tile,
+        )
+        w = cols.shape[-1]
+        return (
+            np.asarray(cols).reshape(-1, w)[:n_left],
+            np.asarray(ub_last).reshape(-1)[:n_left],
+            np.asarray(counts).reshape(-1)[:n_left],
+            int(max_cnt),
         )
 
-        c, k = c0, k0
-        while True:
-            kvals, kcols, counts = _dist_match(
-                mesh, a_ids_d, a_vals_d, a_hash, b_ids, b_vals, b_hash_tiles,
-                jnp.float32(thr_eff), c, k,
-            )
-            counts = np.asarray(counts[:m])
-            # counts are psum'd over shards (global).  Per-shard qualified
-            # columns never exceed the global count, so c >= counts.max()
-            # covers every shard; and once c == n_loc each shard retains all
-            # of its columns regardless of the global count.
-            if counts.max(initial=0) > c and c < n_loc:
-                c = min(n_loc, _next_pow2(int(counts.max())))
-                k = min(c, k)
-                continue
-            kv = np.asarray(kvals[:m])
-            if k < c:
-                # kv[:, k-1] is the global k-th best; every shard's dropped
-                # candidates are <= its local k-th <= the global k-th, so the
-                # single-chip unsafe test covers all shards.
-                cut = kv[:, min(max_n_eff, k) - 1]
-                kth = kv[:, k - 1]
-                qual_low = (min_similarity - _F32_TOL) if min_similarity > 0 else 0.0
-                unsafe = (kth >= qual_low) & (
-                    (max_n_eff > k) | (kth >= cut - _F32_TOL)
-                )
-                if unsafe.any():
-                    k = min(c, k * 2)
-                    continue
-            break
-        all_vals.append(kv)
-        all_cols.append(np.asarray(kcols[:m]))
-
-    kmax = max(v.shape[1] for v in all_vals)
-    for i in range(len(all_vals)):
-        pad = kmax - all_vals[i].shape[1]
-        if pad:
-            all_vals[i] = np.pad(
-                all_vals[i], ((0, 0), (0, pad)), constant_values=-np.inf
-            )
-            all_cols[i] = np.pad(all_cols[i], ((0, 0), (0, pad)))
-    return np.concatenate(all_vals), np.concatenate(all_cols)
+    return run, n_loc, tile, n_tiles_loc
 
 
 def distributed_topn_cosine_matches(
@@ -257,7 +214,6 @@ def distributed_topn_cosine_matches(
     *,
     force_symmetries: bool = True,
     hash_dim: int = 1024,
-    topn_slack: int = 8,
     left_chunk: int = 4096,
     right_tile: int = 4096,
 ) -> MatchPairs:
@@ -269,12 +225,20 @@ def distributed_topn_cosine_matches(
     """
     is_self = right is None
     right_m = left if is_self else right
+    width = _next_pow2(max(left.width, right_m.width, 8))
+    left = _pad_width(left, width)
+    right_m = left if is_self else _pad_width(right_m, width)
     max_n = right_m.n_rows if max_n_matches is None else max_n_matches
-    kvals, kcols = distributed_candidate_topk(
-        left, right_m, min_similarity, max_n, mesh,
-        hash_dim, topn_slack, left_chunk, right_tile,
+
+    run, n_loc, tile, n_tiles_loc = _phase1_distributed(
+        left, right_m, is_self, mesh, hash_dim, left_chunk, right_tile
     )
-    pairs = select_matches(left, right_m, kvals, kcols, min_similarity, max_n)
+    c0 = initial_cand_c(min_similarity, max_n, right_m.n_rows, n_loc)
+    kt0 = initial_k_tile(min_similarity, right_m.n_rows, tile, c0)
+    pairs = adaptive_topn(
+        run, left, right_m, min_similarity, max_n,
+        c_cap=n_loc, kt_cap=tile, n_tiles=n_tiles_loc, c0=c0, kt0=kt0,
+    )
     if is_self and force_symmetries:
         return apply_self_join_fixups(pairs, left.n_rows)
     return order_like_reference_csr(pairs)

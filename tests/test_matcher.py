@@ -157,3 +157,81 @@ def test_diagonal_always_one_even_for_empty_strings():
     got = topn_cosine_matches(ell, None, 0.8, 20)
     diag = {(r, c): s for r, c, s in zip(got.rows, got.cols, got.sims) if r == c}
     assert diag == {(0, 0): 1.0, (1, 1): 1.0, (2, 2): 1.0}
+
+
+class TestHotRowHandling:
+    """One hot row (hundreds of near-duplicates) must neither inflate the
+    corpus-wide candidate width nor lose matches: safe drops are proven by
+    the upper-bound cut check, unresolvable rows are re-matched individually
+    at escalated width (ops/matcher.py adaptive_topn)."""
+
+    @staticmethod
+    def _corpus(base):
+        variants = [base]
+        for i in range(1, len(base)):
+            variants.append(base[:i] + base[i + 1:])
+            variants.append(base[:i] + base[i] + base[i:])
+        rng = np.random.default_rng(0)
+        stems = ["alpha", "beta", "gamma", "delta", "kappa", "sigma",
+                 "omega", "zeta", "theta", "lambda"]
+        filler = [" ".join(rng.choice(stems, 4)) + f" {i}" for i in range(700)]
+        return variants + filler
+
+    def _run(self, max_n, caplog, base="hyper mega global quantum systems incorporated"):
+        import logging
+
+        strings = self._corpus(base)
+        enc = TfidfEncoder(StringGrouperConfig())
+        ell, _ = enc.fit_transform_pair(strings, None)
+        with caplog.at_level(logging.DEBUG, logger="string_grouper_tpu"):
+            got = topn_cosine_matches(ell, None, 0.8, max_n)
+        expected = oracle_pairs(ell, None, 0.8, max_n, True, True)
+        got_pairs = {
+            (int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)
+        }
+        assert set(got_pairs) == set(expected)
+        for k in expected:
+            np.testing.assert_allclose(got_pairs[k], expected[k], rtol=1e-12)
+        return caplog.text
+
+    def test_safe_drop_no_escalation(self, caplog):
+        """max_n well below the candidate width: the exact-cut bound proves
+        dropped candidates irrelevant -- exact results, no escalation."""
+        log = self._run(max_n=10, caplog=caplog)
+        assert "escalate" not in log
+
+    def test_escalation_path(self, caplog):
+        """~250 distinct variants with near-equal similarities: the
+        upper-bound cut cannot prove the truncation safe, so the hot rows
+        are re-matched individually at escalated width; results stay
+        exact."""
+        import logging
+
+        base = (
+            "hyper mega global quantum systems incorporated holdings "
+            "international enterprises consolidated industries"
+        )
+        # Single-character substitutions: distinct gram multisets, sims in a
+        # tight sub-1.0 band around the top-n cut.
+        variants = [base]
+        for i in range(len(base)):
+            for c in "xzq":
+                if base[i] not in (" ", c):
+                    variants.append(base[:i] + c + base[i + 1:])
+        rng = np.random.default_rng(0)
+        stems = ["alpha", "beta", "gamma", "delta", "kappa", "sigma",
+                 "omega", "zeta", "theta", "lambda"]
+        filler = [" ".join(rng.choice(stems, 4)) + f" {i}" for i in range(700)]
+        strings = variants + filler
+        enc = TfidfEncoder(StringGrouperConfig())
+        ell, _ = enc.fit_transform_pair(strings, None)
+        with caplog.at_level(logging.DEBUG, logger="string_grouper_tpu"):
+            got = topn_cosine_matches(ell, None, 0.8, 20)
+        assert "escalate" in caplog.text
+        expected = oracle_pairs(ell, None, 0.8, 20, True, True)
+        got_pairs = {
+            (int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)
+        }
+        assert set(got_pairs) == set(expected)
+        for k in expected:
+            np.testing.assert_allclose(got_pairs[k], expected[k], rtol=1e-12)

@@ -67,16 +67,7 @@ def test_vocabulary_order_matches_sklearn():
     vec, _ = sklearn_tfidf(strings, config)
     sk_vocab = [t for t, _ in sorted(vec.vocabulary_.items(), key=lambda kv: kv[1])]
     enc = TfidfEncoder(config).fit(strings)
-    got_vocab = [
-        bytes(k).decode("utf-32-be").lstrip("\x00")
-        for k in enc.vocab_keys_
-    ]
-    # Decode each void key: 3 big-endian uint32 codepoints.
-    got_vocab = []
-    for k in enc.vocab_keys_:
-        cps = np.frombuffer(bytes(k), dtype=">u4")
-        got_vocab.append("".join(chr(c) for c in cps))
-    assert got_vocab == sk_vocab
+    assert enc.vocabulary_terms() == sk_vocab
 
 
 @pytest.mark.parametrize(
@@ -173,3 +164,38 @@ def test_clean_corpus_fast_path_equals_general_path():
     general = pp._clean_general(strings, config2)
     np.testing.assert_array_equal(fast.buf, general.buf)
     np.testing.assert_array_equal(fast.offsets, general.offsets)
+
+
+@pytest.mark.parametrize("name", ["customers", "unicode"])
+def test_void_fallback_path_equals_packed(name):
+    """ngram_size=9 ASCII (8x9=72 > 64 bits) forces the void-key fallback;
+    it must produce exactly the same encoding sklearn does, like the packed
+    path."""
+    strings = [s * 3 for s in CORPORA[name]]  # long enough for 9-grams
+    config = StringGrouperConfig(ngram_size=9)
+    _, expected = sklearn_tfidf(strings, config)
+    enc = TfidfEncoder(config)
+    got = enc.fit_transform(strings)
+    assert enc._packed_bits is None  # fallback actually exercised
+    np.testing.assert_allclose(got.to_dense(), expected, rtol=1e-13, atol=1e-15)
+
+
+def test_transform_drops_codepoints_outside_fitted_packing():
+    """Fit on ASCII (8-bit packing); transform on strings with non-ASCII
+    codepoints (with normalization off) -- those n-grams are OOV and must be
+    dropped, matching sklearn's transform semantics."""
+    config = StringGrouperConfig(normalize_to_ascii=False, ngram_size=3)
+    fit_strings = ["abcdef", "bcdefg", "cdefgh"]
+    vec = TfidfVectorizer(
+        min_df=1,
+        analyzer=lambda s: reference_ngrams(s, config),
+        dtype=np.float64,
+    )
+    vec.fit(fit_strings)
+    enc = TfidfEncoder(config)
+    enc.fit(fit_strings)
+    assert enc._packed_bits == 8
+    hard = ["abcдef", "дддддд", "abcdef"]
+    expected = vec.transform(hard).toarray()
+    got = enc.transform(hard).to_dense()
+    np.testing.assert_allclose(got, expected, rtol=1e-13, atol=1e-15)

@@ -116,17 +116,20 @@ def main() -> None:
     series = synthetic_company_names(n)
 
     if not os.environ.get("BENCH_SKIP_WARMUP"):
-        # Full-size warmup so the timed run measures steady-state execution,
-        # not XLA compilation (compiles are also persisted to .jax_cache).
-        t0 = time.perf_counter()
-        warm = match_strings(series)
-        warm_s = time.perf_counter() - t0
-        print(
-            f"warmup: {len(warm)} match pairs in {warm_s:.2f}s "
-            f"(incl. compile)",
-            file=sys.stderr,
-        )
-        del warm
+        # Two full-size warmups so the timed run measures steady-state
+        # execution: the first pays XLA compilation (persisted to
+        # .jax_cache) and the TPU-VM first-touch page faults; the second
+        # finishes growing the (never-trimmed) heap so every numpy
+        # temporary is served fault-free.
+        for i in range(2):
+            t0 = time.perf_counter()
+            warm = match_strings(series)
+            warm_s = time.perf_counter() - t0
+            print(
+                f"warmup {i}: {len(warm)} match pairs in {warm_s:.2f}s",
+                file=sys.stderr,
+            )
+            del warm
 
     t0 = time.perf_counter()
     matches = match_strings(series)

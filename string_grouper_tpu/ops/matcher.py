@@ -311,17 +311,45 @@ def _phase1_single(
             -1, chunk, hash_dim
         )
 
-    def run(thr_eff, cand_c, k_tile):
-        cols, ub_last, counts, max_cnt = _corpus_match(
-            a_hash_chunks, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile
-        )
-        w = cols.shape[-1]
-        return (
-            np.asarray(cols).reshape(-1, w)[:n_left],
-            np.asarray(ub_last).reshape(-1)[:n_left],
-            np.asarray(counts).reshape(-1)[:n_left],
-            int(max_cnt),
-        )
+    # Segment the left side so host-side exact scoring of one segment
+    # overlaps the device matching of the next (JAX dispatches are async;
+    # np.asarray blocks per segment only).
+    n_chunks = n_left_p // chunk
+    n_seg = min(n_chunks, 8)
+    cpg = -(-n_chunks // n_seg)  # chunks per segment
+    if n_chunks % cpg:
+        extra = cpg - n_chunks % cpg
+        pad = jnp.zeros((extra, chunk, hash_dim), a_hash_chunks.dtype)
+        a_hash_chunks = jnp.concatenate([a_hash_chunks, pad])
+        n_chunks += extra
+    n_seg = n_chunks // cpg
+    seg_rows = cpg * chunk
+
+    def run_stream(thr_eff, cand_c, k_tile):
+        """Yield (row_base, cols, ub_last, counts, max_cnt) per segment.
+        All segments are dispatched up front; the device queue drains while
+        the consumer scores earlier segments."""
+        thr = jnp.float32(thr_eff)
+        futs = [
+            _corpus_match(
+                a_hash_chunks[g * cpg : (g + 1) * cpg],
+                b_hash_tiles, thr, cand_c, k_tile,
+            )
+            for g in range(n_seg)
+        ]
+        for g, (cols, ub_last, counts, max_cnt) in enumerate(futs):
+            base = g * seg_rows
+            rows_here = max(0, min(seg_rows, n_left - base))
+            if rows_here == 0:
+                continue
+            w = cols.shape[-1]
+            yield (
+                base,
+                np.asarray(cols).reshape(-1, w)[:rows_here],
+                np.asarray(ub_last).reshape(-1)[:rows_here],
+                np.asarray(counts).reshape(-1)[:rows_here],
+                int(max_cnt),
+            )
 
     a_flat = a_hash_chunks.reshape(-1, hash_dim)
 
@@ -345,7 +373,7 @@ def _phase1_single(
         )
 
     n_tiles = n_right_p // tile
-    return run, run_rows, n_right_p, tile, n_tiles
+    return run_stream, run_rows, n_right_p, tile, n_tiles
 
 
 def _pairs_from_ship(cols: np.ndarray, n_right: int, row_ids=None):
@@ -425,9 +453,27 @@ def adaptive_topn(
     c, kt = c0, kt0
     while True:
         logger.debug("phase1: C=%d k_tile=%d", c, kt)
-        cols, ub_last, counts, max_cnt = phase1_run(
+        rows_parts, cols_parts, sims_parts = [], [], []
+        counts = np.zeros(n_left, dtype=np.int64)
+        ub_last = np.full(n_left, -np.inf)
+        max_cnt = 0
+        # Stream segments: exact fp64 scoring of each segment overlaps the
+        # device matching of the next.
+        for base, cols_g, ub_g, counts_g, mc_g in phase1_run(
             effective_threshold(min_similarity), c, kt
-        )
+        ):
+            m_g = len(counts_g)
+            r_g, cl_g = _pairs_from_ship(
+                cols_g, right.n_rows,
+                row_ids=base + np.arange(m_g, dtype=np.int64),
+            )
+            sims_g = rescore_pairs_fp64(left, right, r_g, cl_g)
+            rows_parts.append(r_g)
+            cols_parts.append(cl_g)
+            sims_parts.append(sims_g)
+            counts[base : base + m_g] = counts_g
+            ub_last[base : base + m_g] = ub_g
+            max_cnt = max(max_cnt, mc_g)
         logger.debug(
             "phase1 done: max_cnt=%d counts.max=%d",
             max_cnt, int(counts.max(initial=0)),
@@ -443,8 +489,9 @@ def adaptive_topn(
                 continue
         break
 
-    rows_f, cols_f = _pairs_from_ship(cols, right.n_rows)
-    sims = rescore_pairs_fp64(left, right, rows_f, cols_f)
+    rows_f = np.concatenate(rows_parts) if rows_parts else np.zeros(0, np.int64)
+    cols_f = np.concatenate(cols_parts) if cols_parts else np.zeros(0, np.int64)
+    sims = np.concatenate(sims_parts) if sims_parts else np.zeros(0)
     c_row = np.full(n_left, c, dtype=np.int64)
     ub_bound = ub_last.astype(np.float64)
 

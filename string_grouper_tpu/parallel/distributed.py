@@ -189,20 +189,21 @@ def _phase1_distributed(
         a_hash = build_hash_matrix(left, n_left_p, hash_dim)
     a_hash_chunks = a_hash.reshape(n_left_p // sc, sc, hash_dim)
 
-    def run(thr_eff, cand_c, k_tile):
+    def run_stream(thr_eff, cand_c, k_tile):
         cols, ub_last, counts, max_cnt = _dist_match(
             mesh, a_hash_chunks, b_hash_tiles, jnp.float32(thr_eff),
             cand_c, k_tile,
         )
         w = cols.shape[-1]
-        return (
+        yield (
+            0,
             np.asarray(cols).reshape(-1, w)[:n_left],
             np.asarray(ub_last).reshape(-1)[:n_left],
             np.asarray(counts).reshape(-1)[:n_left],
             int(max_cnt),
         )
 
-    return run, n_loc, tile, n_tiles_loc
+    return run_stream, n_loc, tile, n_tiles_loc
 
 
 def distributed_topn_cosine_matches(

@@ -120,9 +120,10 @@ def validate_n_blocks(n_blocks: Optional[Tuple[int, int]]):
 
 def validate_hash_dim(config: StringGrouperConfig):
     d = config.hash_dim
-    if not isinstance(d, int) or d < 2 or (d & (d - 1)) != 0:
+    if not isinstance(d, int) or d < 2 or (d & (d - 1)) != 0 or d > (1 << 15):
         raise Exception(
-            "Invalid option value for hash_dim: must be a power-of-two integer >= 2."
+            "Invalid option value for hash_dim: must be a power-of-two "
+            "integer between 2 and 32768."
         )
 
 

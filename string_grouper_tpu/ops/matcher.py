@@ -19,8 +19,8 @@ Pipeline (replaces reference ``_build_matches``, string_grouper.py:709-752):
       single-chip form of the reference's ``zip_sp_matmul_topn`` block
       combine (string_grouper.py:746).
   download: candidate column ids only (int32, -1 sentinel) plus one
-      per-row scalar (the smallest kept upper bound) for the exactness
-      check -- similarities never cross the wire.
+      per-row scalar (an upper bound on every DROPPED candidate) for the
+      exactness check -- similarities never cross the wire.
   phase 2 (host, native C++/OpenMP): exact float64 merge-scoring of the
       shipped candidates (native/exact_scorer.cpp; numpy fallback), then
       threshold + per-row top-n selection with deterministic tie-breaking
@@ -29,11 +29,11 @@ Pipeline (replaces reference ``_build_matches``, string_grouper.py:709-752):
       string_grouper.py:419-427,954-964).
 
 Exactness: the adaptive driver guarantees no qualifying pair is dropped.
-``k_tile`` grows while any (row, tile) has more qualified columns than were
-extracted; the candidate width C grows while any row that overflowed C could
-still hide a pair that qualifies and beats the row's current exact top-n cut
-(dropped candidates are bounded above by the shipped smallest-kept upper
-bound).  All reported similarities are exact float64.
+The device reports a per-row upper bound on everything it dropped (per-tile
+``k_tile`` overflow or top-C truncation); any row whose bound could still
+qualify AND beat the row's exact top-n cut is re-matched individually at
+widths large enough to drop nothing.  All reported similarities are exact
+float64.
 """
 
 from __future__ import annotations
@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..corpus.tfidf import EllMatrix
+from .pallas_kernels import fused_tile_topk, fused_tile_topk_supported
 from .rescore import rescore_pairs_fp64
 
 import logging
@@ -99,12 +100,12 @@ def effective_threshold(min_similarity: float) -> np.float32:
 
 
 def initial_k_tile(min_similarity: float, n_right: int, tile: int, c0: int) -> int:
-    """Per-tile extraction width: small corpora rarely cluster within a
-    tile; large corpora get a bigger initial width to avoid a growth
-    re-compile."""
+    """Per-tile extraction width.  Small and constant: rows whose tiles
+    overflow it are detected via the device drop bound and re-matched
+    individually (adaptive_topn), so the global passes stay cheap."""
     if min_similarity <= 0:
         return min(tile, c0)
-    return 4 if n_right <= 65536 else 16
+    return 4
 
 
 def initial_cand_c(min_similarity: float, max_n: int, n_right: int, cap: int) -> int:
@@ -173,6 +174,7 @@ def _ub_topk_scan(
     thr_eff: jax.Array,  # f32 scalar
     cand_c: int,
     k_tile: int,
+    use_kernel: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Tiled phase-1 filter for one left chunk: scan over right tiles; per
     tile an MXU matmul of the hashed projections (bf16 inputs, f32
@@ -181,10 +183,14 @@ def _ub_topk_scan(
     hits are concatenated across tiles and, when wider than ``cand_c``,
     reduced with a single per-chunk top-k.
 
-    Returns (ub_vals (m, W), cols (m, W), counts (m,), max_tile_cnt):
-    candidate upper-bound scores (desc; -inf = none), their column ids, the
-    per-row count of threshold-qualified columns, and the maximum
-    per-(row, tile) qualified count (for adaptive ``k_tile`` growth).
+    Returns (ub_vals (m, W), cols (m, W), counts (m,), max_tile_cnt,
+    drop_bound (m,)): candidate upper-bound scores (desc; -inf = none),
+    their column ids, the per-row count of threshold-qualified columns, the
+    maximum per-(row, tile) qualified count, and a per-row upper bound on
+    every candidate that was DROPPED (by per-tile k_tile overflow or by the
+    final top-C truncation; -inf when the row dropped nothing).  The host
+    driver escalates exactly the rows whose drop bound could still affect
+    the exact result.
     """
     m = a_hash.shape[0]
     tile = b_hash_tiles.shape[1]
@@ -197,7 +203,16 @@ def _ub_topk_scan(
 
     def body(carry, xs):
         b_tile, off = xs
-        counts, max_cnt = carry
+        counts, max_cnt, tbound = carry
+        if use_kernel:
+            # Fused Pallas kernel: matmul + threshold + count + top-kt
+            # extraction with the score block VMEM-resident.
+            tv, tc, cnt = fused_tile_topk(a_hash, b_tile, thr_eff, kt)
+            tc = tc + off
+            counts = counts + cnt
+            max_cnt = jnp.maximum(max_cnt, cnt.max())
+            tbound = jnp.maximum(tbound, jnp.where(cnt > kt, tv[:, -1], neg))
+            return (counts, max_cnt, tbound), (tv, tc)
         ub = jnp.dot(a_hash, b_tile.T, preferred_element_type=jnp.float32)
         ubm = jnp.where(ub >= thr_eff, ub, neg)
         cnt = (ubm > neg).sum(axis=1, dtype=jnp.int32)
@@ -221,19 +236,25 @@ def _ub_topk_scan(
         else:
             tv, ti = jax.lax.top_k(ubm, kt)
             tc = ti + off
-        return (counts, max_cnt), (tv, tc)
+        # Per-tile drop bound: anything not extracted from this tile is <=
+        # the tile's smallest extracted value (only relevant on overflow).
+        tbound = jnp.maximum(tbound, jnp.where(cnt > kt, tv[:, -1], neg))
+        return (counts, max_cnt, tbound), (tv, tc)
 
-    init = (jnp.zeros((m,), jnp.int32), jnp.int32(0))
-    (counts, max_cnt), (tv, tc) = jax.lax.scan(
+    init = (jnp.zeros((m,), jnp.int32), jnp.int32(0), jnp.full((m,), neg))
+    (counts, max_cnt, tbound), (tv, tc) = jax.lax.scan(
         body, init, (b_hash_tiles, offsets)
     )
     # (n_tiles, m, kt) -> (m, n_tiles * kt)
     w_vals = jnp.swapaxes(tv, 0, 1).reshape(m, n_tiles * kt)
     w_cols = jnp.swapaxes(tc, 0, 1).reshape(m, n_tiles * kt)
+    drop_bound = tbound
     if n_tiles * kt > cand_c:
         w_vals, idx = jax.lax.top_k(w_vals, cand_c)
         w_cols = jnp.take_along_axis(w_cols, idx, axis=1)
-    return w_vals, w_cols, counts, max_cnt
+        # Truncation drops are bounded by the smallest kept value.
+        drop_bound = jnp.maximum(drop_bound, w_vals[:, -1])
+    return w_vals, w_cols, counts, max_cnt, drop_bound
 
 
 def match_block(
@@ -242,46 +263,48 @@ def match_block(
     thr_eff: jax.Array,  # f32 scalar
     cand_c: int,
     k_tile: int = 4,
+    use_kernel: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One left block against one right block: the phase-1 candidate
     selector.  Pure function: jitted (inside the corpus scan) for the
     single-chip path and called inside ``shard_map`` by the distributed
     matcher (parallel/distributed.py), where the right block is one device's
     shard."""
-    return _ub_topk_scan(a_hash, b_hash_tiles, thr_eff, cand_c, k_tile)
+    return _ub_topk_scan(
+        a_hash, b_hash_tiles, thr_eff, cand_c, k_tile, use_kernel
+    )
 
 
 def finalize_ship(w_vals: jax.Array, w_cols: jax.Array):
-    """Wire format for the download: sentinel columns + smallest kept UB."""
+    """Wire format for the download: sentinel columns."""
     neg = jnp.float32(-jnp.inf)
-    cols = jnp.where(w_vals > neg, w_cols, -1)
-    ub_last = w_vals[:, -1]
-    return cols, ub_last
+    return jnp.where(w_vals > neg, w_cols, -1)
 
 
-@partial(jax.jit, static_argnames=("cand_c", "k_tile"))
+@partial(jax.jit, static_argnames=("cand_c", "k_tile", "use_kernel"))
 def _corpus_match(
     a_hash_chunks: jax.Array,  # (n_chunks, chunk, d) bf16
     b_hash_tiles: jax.Array,  # (n_tiles, tile, d) bf16
     thr_eff: jax.Array,
     cand_c: int,
     k_tile: int,
+    use_kernel: bool = False,
 ):
     """Whole-corpus phase 1 in ONE device program: outer scan over left
     chunks, inner scan over right tiles.  One dispatch per fit instead of
     one per chunk; only column ids + one scalar per row leave the device."""
 
     def chunk_body(_, a_hash):
-        w_vals, w_cols, counts, max_cnt = _ub_topk_scan(
-            a_hash, b_hash_tiles, thr_eff, cand_c, k_tile
+        w_vals, w_cols, counts, max_cnt, bound = _ub_topk_scan(
+            a_hash, b_hash_tiles, thr_eff, cand_c, k_tile, use_kernel
         )
-        cols, ub_last = finalize_ship(w_vals, w_cols)
-        return None, (cols, ub_last, counts, max_cnt)
+        cols = finalize_ship(w_vals, w_cols)
+        return None, (cols, bound, counts, max_cnt)
 
-    _, (cols, ub_last, counts, max_cnt) = jax.lax.scan(
+    _, (cols, bound, counts, max_cnt) = jax.lax.scan(
         chunk_body, None, a_hash_chunks
     )
-    return cols, ub_last, counts, max_cnt.max()
+    return cols, bound, counts, max_cnt.max()
 
 
 # -------------------------------------------------------------- host driver
@@ -301,6 +324,8 @@ def _phase1_single(
     n_right_p = -(-n_right // tile) * tile
     chunk = min(left_chunk, _next_pow2(max(n_left, 8)))
     n_left_p = -(-n_left // chunk) * chunk
+
+    on_tpu = jax.devices()[0].platform == "tpu"
 
     b_hash = build_hash_matrix(right, n_right_p, hash_dim)
     b_hash_tiles = b_hash.reshape(n_right_p // tile, tile, hash_dim)
@@ -330,10 +355,13 @@ def _phase1_single(
         All segments are dispatched up front; the device queue drains while
         the consumer scores earlier segments."""
         thr = jnp.float32(thr_eff)
+        use_k = on_tpu and fused_tile_topk_supported(
+            chunk, tile, hash_dim, k_tile
+        )
         futs = [
             _corpus_match(
                 a_hash_chunks[g * cpg : (g + 1) * cpg],
-                b_hash_tiles, thr, cand_c, k_tile,
+                b_hash_tiles, thr, cand_c, k_tile, use_k,
             )
             for g in range(n_seg)
         ]
@@ -363,8 +391,11 @@ def _phase1_single(
         idx = np.zeros(m_p, dtype=np.int32)
         idx[:m] = row_idx
         a_sel = a_flat[jnp.asarray(idx)].reshape(-1, chunk, hash_dim)
+        use_k = on_tpu and fused_tile_topk_supported(
+            chunk, tile, hash_dim, k_tile
+        )
         cols, ub_last, counts, max_cnt = _corpus_match(
-            a_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile
+            a_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile, use_k
         )
         w = cols.shape[-1]
         return (
@@ -438,28 +469,31 @@ def adaptive_topn(
     kt0: int,
     phase1_run_rows=None,
 ) -> MatchPairs:
-    """Adaptive driver shared by the single-chip and distributed paths:
-    grows k_tile / candidate width until the exact result is provably
-    complete, then returns the selected pairs.
+    """Adaptive driver shared by the single-chip and distributed paths.
 
-    With ``phase1_run_rows`` (single-chip path), rows whose candidate
-    overflow is unresolvable at the global width are re-matched
-    individually at escalated width -- one hot row never inflates the
-    corpus-wide download.  Without it, the candidate width grows globally.
+    The device reports, per row, an upper bound on every candidate it
+    DROPPED (per-tile k_tile overflow or top-C truncation; -inf when
+    nothing was dropped).  A row is provably complete when that bound
+    cannot qualify AND beat the row's exact top-n cut.  With
+    ``phase1_run_rows`` (single-chip path), the remaining unsafe rows are
+    re-matched individually at escalated widths -- one hot row never
+    inflates the corpus-wide download or forces a second full pass.
+    Without it (distributed path), the widths grow globally.
     """
     n_left = left.n_rows
     max_n_eff = min(max_n, right.n_rows)
     qual_low = min_similarity if min_similarity > 0 else 0.0
     c, kt = c0, kt0
-    while True:
+
+    def collect(c, kt):
         logger.debug("phase1: C=%d k_tile=%d", c, kt)
         rows_parts, cols_parts, sims_parts = [], [], []
         counts = np.zeros(n_left, dtype=np.int64)
-        ub_last = np.full(n_left, -np.inf)
+        bound = np.full(n_left, -np.inf)
         max_cnt = 0
         # Stream segments: exact fp64 scoring of each segment overlaps the
         # device matching of the next.
-        for base, cols_g, ub_g, counts_g, mc_g in phase1_run(
+        for base, cols_g, bound_g, counts_g, mc_g in phase1_run(
             effective_threshold(min_similarity), c, kt
         ):
             m_g = len(counts_g)
@@ -472,61 +506,78 @@ def adaptive_topn(
             cols_parts.append(cl_g)
             sims_parts.append(sims_g)
             counts[base : base + m_g] = counts_g
-            ub_last[base : base + m_g] = ub_g
+            bound[base : base + m_g] = bound_g
             max_cnt = max(max_cnt, mc_g)
         logger.debug(
             "phase1 done: max_cnt=%d counts.max=%d",
             max_cnt, int(counts.max(initial=0)),
         )
-        if max_cnt > kt and kt < kt_cap:
-            kt = min(kt_cap, _next_pow2(max_cnt))
-            continue
-        if phase1_run_rows is None and n_tiles * kt > c and c < c_cap:
-            # Global-growth fallback: coverage when every row's qualified
-            # count fits the global width.
-            if counts.max(initial=0) > c:
-                c = min(c_cap, _next_pow2(int(counts.max())))
-                continue
-        break
+        rows_f = (
+            np.concatenate(rows_parts) if rows_parts else np.zeros(0, np.int64)
+        )
+        cols_f = (
+            np.concatenate(cols_parts) if cols_parts else np.zeros(0, np.int64)
+        )
+        sims = np.concatenate(sims_parts) if sims_parts else np.zeros(0)
+        return rows_f, cols_f, sims, counts, bound, max_cnt
 
-    rows_f = np.concatenate(rows_parts) if rows_parts else np.zeros(0, np.int64)
-    cols_f = np.concatenate(cols_parts) if cols_parts else np.zeros(0, np.int64)
-    sims = np.concatenate(sims_parts) if sims_parts else np.zeros(0)
-    c_row = np.full(n_left, c, dtype=np.int64)
-    ub_bound = ub_last.astype(np.float64)
+    def unsafe_rows(bound, kept_q, row_cut):
+        # Dropped candidates are bounded by the device-reported drop bound.
+        # Cosine of L2-normalized rows never exceeds 1, so clamp the
+        # adjusted bound at 1.  The cut comparison is strict: a dropped
+        # candidate whose exact similarity EQUALS the cut can only be a
+        # structural clone of a kept one, and clones have bitwise-identical
+        # upper bounds, so the stable device top-k already kept the lower
+        # column ids (the reference's tie-break winners).
+        adj = np.minimum(bound * _UB_ADJ + _UB_ABS_SLACK, 1.0)
+        return (
+            (bound > -np.inf)
+            & (adj >= qual_low)
+            & ((kept_q < max_n_eff) | (adj > row_cut))
+        )
 
+    rows_f, cols_f, sims, counts, bound, max_cnt = collect(c, kt)
+    escalations = 0
     while True:
         rows_s, cols_s, sims_s, kept_q, row_cut = _select_topn(
             rows_f, cols_f, sims, n_left, min_similarity, max_n_eff
         )
-        # Rows that overflowed their candidate width may have dropped
-        # candidates; dropped upper bounds are <= the smallest kept
-        # (shipped) upper bound.  Cosine of L2-normalized rows never
-        # exceeds 1, so dropped candidates are bounded by min(adjusted
-        # ub, 1).  The cut comparison is strict: a dropped candidate whose
-        # exact similarity EQUALS the cut can only be a structural clone of
-        # a kept one, and clones have bitwise-identical upper bounds, so
-        # the stable device top-k already kept the lower column ids (the
-        # reference's tie-break winners).
-        adj = np.minimum(ub_bound * _UB_ADJ + _UB_ABS_SLACK, 1.0)
-        unsafe = (
-            (counts > c_row)
-            & (c_row < n_tiles * kt)
-            & (adj >= qual_low)
-            & ((kept_q < max_n_eff) | (adj > row_cut))
-        )
-        if not unsafe.any() or phase1_run_rows is None:
+        unsafe = unsafe_rows(bound, kept_q, row_cut)
+        if not unsafe.any():
             break
+        if phase1_run_rows is None:
+            # Global-growth fallback (distributed path).
+            grew = False
+            if max_cnt > kt and kt < kt_cap:
+                kt = min(kt_cap, _next_pow2(max_cnt))
+                grew = True
+            if counts.max(initial=0) > c and c < c_cap:
+                c = min(c_cap, _next_pow2(int(counts.max())))
+                grew = True
+            if not grew:
+                break
+            rows_f, cols_f, sims, counts, bound, max_cnt = collect(c, kt)
+            continue
+        # Per-row escalation: re-match just the unsafe rows at widths large
+        # enough that they provably drop nothing (k_tile covers the largest
+        # per-tile count, C covers the largest total count), so one round
+        # normally suffices; the counter is a safety net against cap-bound
+        # corner cases.
+        if escalations >= 4:
+            logger.warning(
+                "escalation cap reached with %d rows still ambiguous",
+                int(unsafe.sum()),
+            )
+            break
+        escalations += 1
         idx = np.flatnonzero(unsafe)
-        needed = min(
-            _next_pow2(int(counts[idx].max())), _next_pow2(n_tiles * kt)
+        kt_big = min(kt_cap, max(_next_pow2(max_cnt), kt))
+        c_big = min(max(c_cap, 1), max(_next_pow2(int(counts[idx].max())), c))
+        logger.debug(
+            "escalate %d rows to C=%d k_tile=%d", len(idx), c_big, kt_big
         )
-        c_big = min(max(c_cap, 1), needed)
-        if c_big <= int(c_row[idx].min()):
-            break  # cannot widen further
-        logger.debug("escalate %d rows to C=%d", len(idx), c_big)
-        sub_cols, sub_ub_last = phase1_run_rows(
-            idx, effective_threshold(min_similarity), c_big, kt
+        sub_cols, sub_bound = phase1_run_rows(
+            idx, effective_threshold(min_similarity), c_big, kt_big
         )
         sub_rows, sub_cols_f = _pairs_from_ship(
             sub_cols, right.n_rows, row_ids=idx.astype(np.int64)
@@ -540,8 +591,7 @@ def adaptive_topn(
         rows_f = np.concatenate([rows_f[keep_old], sub_rows])
         cols_f = np.concatenate([cols_f[keep_old], sub_cols_f])
         sims = np.concatenate([sims[keep_old], sub_sims])
-        c_row[idx] = c_big
-        ub_bound[idx] = sub_ub_last
+        bound[idx] = sub_bound
     if len(rows_s):
         true_max = int(np.bincount(rows_s, minlength=left.n_rows).max(initial=0))
     else:

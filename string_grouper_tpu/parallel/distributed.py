@@ -100,22 +100,21 @@ def _local_block(a_hash, b_hash_tiles, thr_eff, *, cand_c: int, k_tile: int):
     bounds.
     """
     n_loc = b_hash_tiles.shape[0] * b_hash_tiles.shape[1]
-    w_vals, w_cols, counts, max_cnt = match_block(
+    w_vals, w_cols, counts, max_cnt, bound = match_block(
         a_hash, b_hash_tiles, thr_eff, cand_c, k_tile
     )
     neg = jnp.float32(-jnp.inf)
     cols_loc = jnp.where(
         w_vals > neg, w_cols + jax.lax.axis_index("mp") * n_loc, -1
     )
-    ub_last_loc = w_vals[:, -1]
     gc = jax.lax.all_gather(cols_loc, "mp")  # (mp, m, W)
     mp_sz, m, w = gc.shape
     cols = jnp.swapaxes(gc, 0, 1).reshape(m, mp_sz * w)
     # Per-shard maxima: a shard drops candidates only against its own caps.
     counts = jax.lax.pmax(counts, "mp")
-    ub_last = jax.lax.pmax(ub_last_loc, "mp")
+    bound = jax.lax.pmax(bound, "mp")
     max_cnt = jax.lax.pmax(max_cnt, ("dp", "mp"))
-    return cols, ub_last, counts, max_cnt
+    return cols, bound, counts, max_cnt
 
 
 @partial(jax.jit, static_argnames=("mesh", "cand_c", "k_tile"))

@@ -195,9 +195,11 @@ class TestHotRowHandling:
         return caplog.text
 
     def test_safe_drop_no_escalation(self, caplog):
-        """max_n well below the candidate width: the exact-cut bound proves
-        dropped candidates irrelevant -- exact results, no escalation."""
-        log = self._run(max_n=10, caplog=caplog)
+        """max_n=1: every row's top-1 cut is the exact-1.0 self match, which
+        no dropped candidate can beat (cosine <= 1, strict comparison), so
+        the dropped candidates are proven irrelevant -- exact results, no
+        escalation."""
+        log = self._run(max_n=1, caplog=caplog)
         assert "escalate" not in log
 
     def test_escalation_path(self, caplog):

@@ -89,6 +89,9 @@ class StringGrouperConfig(NamedTuple):
     :param topn_slack: candidate slack per row sent to fp64 refinement.
     :param left_chunk: left-side rows per streamed device chunk.
     :param right_tile: right-side rows per phase-1 scan tile.
+    :param mesh: optional ``jax.sharding.Mesh`` with axes ('dp', 'mp') (see
+        :func:`string_grouper_tpu.parallel.make_mesh`); when set, matching
+        runs sharded across the mesh devices.
     """
 
     ngram_size: int = DEFAULT_NGRAM_SIZE
@@ -109,3 +112,4 @@ class StringGrouperConfig(NamedTuple):
     topn_slack: int = DEFAULT_TOPN_SLACK
     left_chunk: int = DEFAULT_LEFT_CHUNK
     right_tile: int = DEFAULT_RIGHT_TILE
+    mesh: Optional[object] = None

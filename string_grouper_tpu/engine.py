@@ -30,6 +30,7 @@ from .validation import (
     StringGrouperNotFitException,
     validate_group_rep,
     validate_hash_dim,
+    validate_mesh,
     validate_id_data,
     validate_input_data_combination,
     validate_is_fit,
@@ -112,6 +113,7 @@ class StringGrouper:
         validate_replace_na_and_drop(self._config, self._master, self._duplicates)
         validate_n_blocks(self._config.n_blocks)
         validate_hash_dim(self._config)
+        validate_mesh(self._config)
         self.is_build = False
 
     def _build_corpus(self):
@@ -205,17 +207,32 @@ class StringGrouper:
         n_right = len(self._right_Series)
         max_n = n_right if self._max_n_matches is None else self._max_n_matches
         with self.timings.phase("match"):
-            pairs = topn_cosine_matches(
-                master_ell,
-                self._dupes_ell,
-                self._config.min_similarity,
-                max_n,
-                force_symmetries=self._config.force_symmetries,
-                hash_dim=self._config.hash_dim,
-                topn_slack=self._config.topn_slack,
-                left_chunk=self._config.left_chunk,
-                right_tile=self._config.right_tile,
-            )
+            if self._config.mesh is not None:
+                from .parallel import distributed_topn_cosine_matches
+
+                pairs = distributed_topn_cosine_matches(
+                    master_ell,
+                    self._dupes_ell,
+                    self._config.min_similarity,
+                    max_n,
+                    self._config.mesh,
+                    force_symmetries=self._config.force_symmetries,
+                    hash_dim=self._config.hash_dim,
+                    left_chunk=self._config.left_chunk,
+                    right_tile=self._config.right_tile,
+                )
+            else:
+                pairs = topn_cosine_matches(
+                    master_ell,
+                    self._dupes_ell,
+                    self._config.min_similarity,
+                    max_n,
+                    force_symmetries=self._config.force_symmetries,
+                    hash_dim=self._config.hash_dim,
+                    topn_slack=self._config.topn_slack,
+                    left_chunk=self._config.left_chunk,
+                    right_tile=self._config.right_tile,
+                )
         self._true_max_n_matches = pairs.true_max_n_matches
         with self.timings.phase("assemble"):
             self._matches_list = pd.DataFrame(

@@ -127,6 +127,19 @@ def validate_hash_dim(config: StringGrouperConfig):
         )
 
 
+def validate_mesh(config: StringGrouperConfig):
+    mesh = config.mesh
+    if mesh is None:
+        return
+    from jax.sharding import Mesh
+
+    if not isinstance(mesh, Mesh) or set(mesh.axis_names) != {"dp", "mp"}:
+        raise Exception(
+            "Invalid option value for mesh: must be a jax.sharding.Mesh with "
+            "axes ('dp', 'mp') -- see string_grouper_tpu.parallel.make_mesh."
+        )
+
+
 def validate_strings_exist(master_side, dupe_side, master_strings, dupe_strings):
     """(reference string_grouper.py:980-985)"""
     if not master_strings.isin([master_side]).any():

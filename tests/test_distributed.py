@@ -132,3 +132,21 @@ class TestDistributedTfidf:
 
         idf = np.asarray(replicated_idf(jnp.asarray(df_global), float(n_docs)))
         np.testing.assert_allclose(idf, enc.idf_, rtol=1e-6)
+
+
+class TestEngineMesh:
+    def test_engine_with_mesh_equals_single_chip(self):
+        """The ``mesh`` config option routes fits through the sharded
+        matcher; outputs must equal the single-chip engine's exactly."""
+        series = _synthetic_names(120, seed=11)
+        base = jax  # noqa: F841  (jax imported at module top)
+        import string_grouper_tpu as sgt
+
+        mesh = make_mesh(8, dp=2)
+        a = sgt.match_strings(series, min_similarity=0.6)
+        b = sgt.match_strings(series, min_similarity=0.6, mesh=mesh)
+        pd.testing.assert_frame_equal(a, b)
+
+        ga = sgt.group_similar_strings(series, min_similarity=0.6)
+        gb = sgt.group_similar_strings(series, min_similarity=0.6, mesh=mesh)
+        pd.testing.assert_frame_equal(ga, gb)

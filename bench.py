@@ -104,14 +104,29 @@ def synthetic_company_names(n: int, seed: int = 42) -> pd.Series:
 
 
 def main() -> None:
-    n = int(os.environ.get("BENCH_N", "663000"))
+    task = os.environ.get("BENCH_TASK", "match")
+    default_n = "663000" if task == "match" else "100000"
+    n = int(os.environ.get("BENCH_N", default_n))
     os.makedirs(".jax_cache", exist_ok=True)
     import jax
 
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from string_grouper_tpu import match_strings
+    from string_grouper_tpu import group_similar_strings, match_strings
+
+    if task == "group":
+        # Full dedup pipeline (matcher + on-device connected components +
+        # centroid representatives), BASELINE.json config #4.
+        def run():
+            return group_similar_strings(series, min_similarity=0.8)
+
+        metric = f"company_names_{n}_group_dedup_wall"
+    else:
+        def run():
+            return match_strings(series)
+
+        metric = f"company_names_{n}_selfmatch_wall"
 
     series = synthetic_company_names(n)
 
@@ -123,28 +138,27 @@ def main() -> None:
         # temporary is served fault-free.
         for i in range(2):
             t0 = time.perf_counter()
-            warm = match_strings(series)
+            warm = run()
             warm_s = time.perf_counter() - t0
             print(
-                f"warmup {i}: {len(warm)} match pairs in {warm_s:.2f}s",
+                f"warmup {i}: {len(warm)} output rows in {warm_s:.2f}s",
                 file=sys.stderr,
             )
             del warm
 
     t0 = time.perf_counter()
-    matches = match_strings(series)
+    result = run()
     wall = time.perf_counter() - t0
-    n_pairs = len(matches)
 
     print(
         json.dumps(
             {
-                "metric": f"company_names_{n}_selfmatch_wall",
+                "metric": metric,
                 "value": round(wall, 3),
                 "unit": "s",
                 "vs_baseline": round(BASELINE_S / wall, 3),
                 "n_strings": n,
-                "n_match_pairs": int(n_pairs),
+                "n_output_rows": int(len(result)),
                 "baseline_s": BASELINE_S,
                 "device": str(jax.devices()[0]),
             }

@@ -46,13 +46,14 @@ GROUP_REP_PREFIX: str = "group_rep_"
 # power of two.  Larger values tighten the upper bound (fewer false-positive
 # candidates) at the cost of more MXU FLOPs per pair.
 DEFAULT_HASH_DIM: int = 1024
-# Per-row candidate-slack added on top of max_n_matches when shipping
-# device-selected candidates to the fp64 host refinement step.
+# Legacy knob (earlier designs shipped a slack margin of candidates); the
+# current matcher's adaptive driver is always complete, so this is a no-op
+# kept for API stability.
 DEFAULT_TOPN_SLACK: int = 8
 # Rows per left-side chunk streamed through the phase-1 filter.
 DEFAULT_LEFT_CHUNK: int = 4096
 # Right-side rows per phase-1 tile (the lax.scan step of the tiled
-# matmul + running top-k merge).
+# matmul + candidate extraction).
 DEFAULT_RIGHT_TILE: int = 4096
 
 
@@ -86,7 +87,8 @@ class StringGrouperConfig(NamedTuple):
     TPU-specific options:
 
     :param hash_dim: feature-hash width of the phase-1 filter matmul.
-    :param topn_slack: candidate slack per row sent to fp64 refinement.
+    :param topn_slack: legacy no-op knob (the adaptive matcher is always
+        complete); accepted for API stability.
     :param left_chunk: left-side rows per streamed device chunk.
     :param right_tile: right-side rows per phase-1 scan tile.
     :param mesh: optional ``jax.sharding.Mesh`` with axes ('dp', 'mp') (see

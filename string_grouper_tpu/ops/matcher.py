@@ -127,14 +127,17 @@ def pack_hash_inputs(ell: EllMatrix, n_pad: int, dim: int) -> jax.Array:
     """
     if dim > (1 << 15):
         raise ValueError("hash_dim must be <= 32768")
-    ids = ell.ids
-    u = (ids.astype(np.int64) * _KNUTH) % (1 << 32)
-    b = (u >> (32 - int(dim).bit_length() + 1)).astype(np.int64)
-    q = np.ceil(ell.vals64 * 65535.0).clip(0, 65535).astype(np.int64)
-    packed = np.where(ids >= 0, (b << 16) | q, 0).astype(np.int32)
+    packed = _pack_rows(ell.ids, ell.vals64, dim)
     if n_pad > ell.n_rows:
         packed = np.pad(packed, ((0, n_pad - ell.n_rows), (0, 0)))
     return jnp.asarray(packed)
+
+
+def _pack_rows(ids: np.ndarray, vals64: np.ndarray, dim: int) -> np.ndarray:
+    u = (ids.astype(np.int64) * _KNUTH) % (1 << 32)
+    b = (u >> (32 - int(dim).bit_length() + 1)).astype(np.int64)
+    q = np.ceil(vals64 * 65535.0).clip(0, 65535).astype(np.int64)
+    return np.where(ids >= 0, (b << 16) | q, 0).astype(np.int32)
 
 
 @partial(jax.jit, static_argnames=("dim", "row_tile"))
@@ -162,9 +165,43 @@ def _device_hash(
     return hs.reshape(n_p, dim)[:n]
 
 
-def build_hash_matrix(ell: EllMatrix, n_pad: int, dim: int) -> jax.Array:
-    """Host quantization + device hashing: (n_pad, dim) bf16 projection."""
-    return _device_hash(pack_hash_inputs(ell, n_pad, dim), dim)
+def build_hash_matrix(
+    ell: EllMatrix, n_pad: int, dim: int, narrow_w: int = 32,
+    min_rows: int = 10000,
+) -> jax.Array:
+    """Host quantization + device hashing: (n_pad, dim) bf16 projection.
+
+    Rows are uploaded in two width tiers when profitable (most corpora have
+    a long-tail nnz distribution -- e.g. 94%% of company names fit 32 slots
+    while the ELL width is set by the longest string), then restored to the
+    original order with a device gather.  The host-device link is the
+    scarce resource; see docs/performance.md.
+    """
+    if dim > (1 << 15):
+        raise ValueError("hash_dim must be <= 32768")
+    n = ell.n_rows
+    nnz = ell.nnz_per_row()
+    narrow = nnz <= narrow_w
+    frac = narrow.mean() if n else 0.0
+    if ell.width <= narrow_w + 8 or frac < 0.5 or n < min_rows:
+        h = _device_hash(pack_hash_inputs(ell, n, dim), dim)
+    else:
+        order = np.argsort(~narrow, kind="stable")
+        k = int(narrow.sum())
+        ids_p = ell.ids[order]
+        vals_p = ell.vals64[order]
+        p_narrow = _pack_rows(ids_p[:k, :narrow_w], vals_p[:k, :narrow_w], dim)
+        parts = [_device_hash(p_narrow, dim)]
+        if k < n:
+            p_wide = _pack_rows(ids_p[k:], vals_p[k:], dim)
+            parts.append(_device_hash(p_wide, dim))
+        h_perm = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        inv = np.empty(n, dtype=np.int32)
+        inv[order] = np.arange(n, dtype=np.int32)
+        h = h_perm[jnp.asarray(inv)]
+    if n_pad > n:
+        h = jnp.pad(h, ((0, n_pad - n), (0, 0)))
+    return h
 
 
 # ------------------------------------------------------------------- phase 1
@@ -665,8 +702,9 @@ def topn_cosine_matches(
     del topn_slack
     is_self = right is None
     right_m = left if is_self else right
-    # Equalize ELL widths so host scoring sees consistent padding.
-    width = _next_pow2(max(left.width, right_m.width, 8))
+    # Equalize ELL widths so host scoring sees consistent padding
+    # (multiple of 8 for shape bucketing; pow2 would waste upload bytes).
+    width = -(-max(left.width, right_m.width, 8) // 8) * 8
     left = _pad_width(left, width)
     right_m = left if is_self else _pad_width(right_m, width)
     max_n = right_m.n_rows if max_n_matches is None else max_n_matches

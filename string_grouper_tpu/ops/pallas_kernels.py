@@ -12,7 +12,8 @@ block only, so they are revisited across the BN steps and act as the
 running top-k accumulator (top-k of two sorted lists = k more iterated
 maxima over their 2k-wide concat).
 
-Falls back to interpreter mode off-TPU (tests run on the CPU backend).
+Off-TPU (tests on the CPU backend) the matcher uses its XLA path; the
+kernel itself is testable anywhere via ``interpret=True``.
 """
 
 from __future__ import annotations

@@ -225,7 +225,7 @@ def distributed_topn_cosine_matches(
     """
     is_self = right is None
     right_m = left if is_self else right
-    width = _next_pow2(max(left.width, right_m.width, 8))
+    width = -(-max(left.width, right_m.width, 8) // 8) * 8
     left = _pad_width(left, width)
     right_m = left if is_self else _pad_width(right_m, width)
     max_n = right_m.n_rows if max_n_matches is None else max_n_matches

@@ -54,3 +54,22 @@ def test_padding_rows_hash_to_zero():
     ell = _rand_ell(n=10)
     h = np.asarray(build_hash_matrix(ell, 16, 64))
     assert (h[10:] == 0).all()
+
+
+def test_tiered_upload_equals_single_path():
+    """The two-tier width upload (build_hash_matrix) must produce exactly
+    the same hash matrix as the single-width path, in the original row
+    order."""
+    rng = np.random.default_rng(5)
+    n, n_terms = 200, 800
+    ids = np.full((n, 48), -1, np.int32)
+    vals = np.zeros((n, 48), np.float64)
+    for i in range(n):
+        k = int(rng.integers(5, 20 if i % 3 else 48))  # long-tail widths
+        ids[i, :k] = np.sort(rng.choice(n_terms, size=k, replace=False))
+        v = rng.random(k) + 0.1
+        vals[i, :k] = v / np.sqrt((v * v).sum())
+    ell = EllMatrix(ids=ids, vals64=vals, n_terms=n_terms)
+    single = np.asarray(build_hash_matrix(ell, 256, 128, min_rows=10**9))
+    tiered = np.asarray(build_hash_matrix(ell, 256, 128, min_rows=0))
+    np.testing.assert_array_equal(single, tiered)

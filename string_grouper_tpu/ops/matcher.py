@@ -574,11 +574,12 @@ def adaptive_topn(
         )
 
     rows_f, cols_f, sims, counts, bound, max_cnt = collect(c, kt)
+    rows_s, cols_s, sims_s, kept_q, row_cut = _select_topn(
+        rows_f, cols_f, sims, n_left, min_similarity, max_n_eff
+    )
+    del rows_f, cols_f, sims
     escalations = 0
     while True:
-        rows_s, cols_s, sims_s, kept_q, row_cut = _select_topn(
-            rows_f, cols_f, sims, n_left, min_similarity, max_n_eff
-        )
         unsafe = unsafe_rows(bound, kept_q, row_cut)
         if not unsafe.any():
             break
@@ -594,24 +595,37 @@ def adaptive_topn(
             if not grew:
                 break
             rows_f, cols_f, sims, counts, bound, max_cnt = collect(c, kt)
+            rows_s, cols_s, sims_s, kept_q, row_cut = _select_topn(
+                rows_f, cols_f, sims, n_left, min_similarity, max_n_eff
+            )
+            del rows_f, cols_f, sims
             continue
         # Per-row escalation: re-match just the unsafe rows at widths large
         # enough that they provably drop nothing (k_tile covers the largest
         # per-tile count, C covers the largest total count), so one round
         # normally suffices; the counter is a safety net against cap-bound
         # corner cases.
-        if escalations >= 4:
-            logger.warning(
-                "escalation cap reached with %d rows still ambiguous",
-                int(unsafe.sum()),
-            )
-            break
         escalations += 1
         idx = np.flatnonzero(unsafe)
         kt_big = min(kt_cap, max(_next_pow2(max_cnt), kt))
-        c_big = min(max(c_cap, 1), max(_next_pow2(int(counts[idx].max())), c))
+        c_full = min(max(c_cap, 1), max(_next_pow2(int(counts[idx].max())), c))
+        if escalations < 4 and len(idx) * c_full > 32_000_000:
+            # Bucketed escalation, only when the full-width re-match would
+            # ship too much (each extra round costs a full re-select):
+            # cover the bulk of the unsafe rows at the width the 90th
+            # percentile needs; the hot tail waits for the next (wider)
+            # round.  The final round always uses the full width, so
+            # completeness is unconditional.
+            c_q = _next_pow2(int(np.quantile(counts[idx], 0.9)) + 1)
+            c_big = min(c_full, max(c_q, 2 * c))
+            covered = idx[counts[idx] <= c_big]
+            if len(covered):
+                idx = covered
+        else:
+            c_big = c_full
         logger.debug(
-            "escalate %d rows to C=%d k_tile=%d", len(idx), c_big, kt_big
+            "escalate %d rows to C=%d k_tile=%d (round %d)",
+            len(idx), c_big, kt_big, escalations,
         )
         sub_cols, sub_bound = phase1_run_rows(
             idx, effective_threshold(min_similarity), c_big, kt_big
@@ -620,14 +634,20 @@ def adaptive_topn(
             sub_cols, right.n_rows, row_ids=idx.astype(np.int64)
         )
         sub_sims = rescore_pairs_fp64(left, right, sub_rows, sub_cols_f)
-        # Replace the escalated rows' pairs wholesale (the re-run returns a
+        # Incremental re-selection: top-n is independent per row, so only
+        # the escalated rows' selections change (the re-run returns a
         # superset of their previous candidates).
+        r2, c2, s2, kq2, rc2 = _select_topn(
+            sub_rows, sub_cols_f, sub_sims, n_left, min_similarity, max_n_eff
+        )
         in_idx = np.zeros(n_left, dtype=bool)
         in_idx[idx] = True
-        keep_old = ~in_idx[rows_f]
-        rows_f = np.concatenate([rows_f[keep_old], sub_rows])
-        cols_f = np.concatenate([cols_f[keep_old], sub_cols_f])
-        sims = np.concatenate([sims[keep_old], sub_sims])
+        keep_sel = ~in_idx[rows_s]
+        rows_s = np.concatenate([rows_s[keep_sel], r2])
+        cols_s = np.concatenate([cols_s[keep_sel], c2])
+        sims_s = np.concatenate([sims_s[keep_sel], s2])
+        kept_q[idx] = kq2[idx]
+        row_cut[idx] = rc2[idx]
         bound[idx] = sub_bound
     if len(rows_s):
         true_max = int(np.bincount(rows_s, minlength=left.n_rows).max(initial=0))

@@ -9,10 +9,11 @@ string_grouper/string_grouper.py:709-752) becomes a 2-D device mesh:
     the right hashed projection.
 
 Per device, the phase-1 candidate selector (ops/matcher.py ``match_block``)
-runs on the local (left-chunk x right-shard) block.  The per-shard top-C
-upper-bound results are merged with an ``all_gather`` over ``mp`` followed
-by a sort of the concatenation -- the collective form of the reference's
-``zip_sp_matmul_topn`` merge (string_grouper.py:746).  Qualified-candidate
+runs on the local (left-chunk x right-shard) block.  The per-shard
+candidates merge by ``all_gather`` concatenation over ``mp`` -- the
+collective form of the reference's ``zip_sp_matmul_topn`` merge
+(string_grouper.py:746); no re-sort is needed because the host scores
+every shipped candidate exactly.  Qualified-candidate
 counts are ``psum``'d over ``mp`` so the host-side adaptive candidate-width
 loop sees global counts, preserving the single-chip no-drop guarantee:
 shard count never changes the returned pair set.  Exact float64 scoring of

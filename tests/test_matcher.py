@@ -237,3 +237,23 @@ class TestHotRowHandling:
         assert set(got_pairs) == set(expected)
         for k in expected:
             np.testing.assert_allclose(got_pairs[k], expected[k], rtol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "left_chunk,right_tile,hash_dim", [(16, 8, 64), (64, 32, 256)]
+)
+def test_tiling_invariance_cross_join(left_chunk, right_tile, hash_dim):
+    """Cross-join analog of the reference's blocked == unblocked tests
+    (reference test_string_grouper.py:285-336)."""
+    master = random_names(120, seed=8)
+    dupes = random_names(77, seed=9)
+    enc = TfidfEncoder(StringGrouperConfig())
+    m, d = enc.fit_transform_pair(master, dupes)
+    base = topn_cosine_matches(m, d, 0.4, 5)
+    got = topn_cosine_matches(
+        m, d, 0.4, 5,
+        hash_dim=hash_dim, left_chunk=left_chunk, right_tile=right_tile,
+    )
+    np.testing.assert_array_equal(got.rows, base.rows)
+    np.testing.assert_array_equal(got.cols, base.cols)
+    np.testing.assert_allclose(got.sims, base.sims, rtol=0, atol=0)

@@ -375,9 +375,10 @@ def _phase1_single(
 
     # Segment the left side so host-side exact scoring of one segment
     # overlaps the device matching of the next (JAX dispatches are async;
-    # np.asarray blocks per segment only).
+    # np.asarray blocks per segment only).  Each dispatch costs a tunnel
+    # round-trip, so small corpora use fewer segments.
     n_chunks = n_left_p // chunk
-    n_seg = min(n_chunks, 8)
+    n_seg = min(8, max(1, n_chunks // 8))
     cpg = -(-n_chunks // n_seg)  # chunks per segment
     if n_chunks % cpg:
         extra = cpg - n_chunks % cpg

@@ -603,3 +603,34 @@ class TestCorpusReuse:
         assert sg._config.n_blocks == (1, 1)
         direct = match_strings(df1, min_similarity=0.1, n_blocks=(1, 1))
         pd.testing.assert_frame_equal(matches, direct)
+
+
+def test_update_options_invalidates_fit():
+    """Changing options un-fits the grouper (reference string_grouper.py:303
+    sets is_build=False in _set_options)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from string_grouper_tpu import StringGrouper
+    from string_grouper_tpu.validation import StringGrouperNotFitException
+
+    sg = StringGrouper(pd.Series(["abc", "abd"]), min_similarity=0.1).fit()
+    sg.get_matches()  # fine
+    sg.update_options(min_similarity=0.2)
+    with _pytest.raises(StringGrouperNotFitException):
+        sg.get_matches()
+    sg.fit()
+    assert len(sg.get_matches()) > 0
+
+
+def test_reset_data_invalidates_fit():
+    import pandas as pd
+    import pytest as _pytest
+
+    from string_grouper_tpu import StringGrouper
+    from string_grouper_tpu.validation import StringGrouperNotFitException
+
+    sg = StringGrouper(pd.Series(["abc", "abd"]), min_similarity=0.1).fit()
+    sg.reset_data(pd.Series(["xyz", "xyw"]))
+    with _pytest.raises(StringGrouperNotFitException):
+        sg.get_matches()

@@ -5,9 +5,10 @@ the ``string_grouper`` reference library (exports mirror
 reference string_grouper/__init__.py:1-2 plus the config/engine classes).
 """
 
-from .utils.host_alloc import tune_malloc as _tune_malloc
+from .utils.host_alloc import should_tune as _should_tune, tune_malloc as _tune_malloc
 
-_tune_malloc()  # TPU-VM page-fault mitigation; see utils/host_alloc.py
+if _should_tune():  # TPU-VM page-fault mitigation; see utils/host_alloc.py
+    _tune_malloc()
 
 from .api import (
     compute_pairwise_similarities,

@@ -260,6 +260,11 @@ def _unique_row_term_counts(
     """Collapse (row, term) occurrences into unique pairs with counts,
     sorted by (row, term)."""
     pair_keys = row_ids.astype(np.int64) * n_terms + t_idx.astype(np.int64)
+    if len(pair_keys) == 0:
+        # E.g. every n-gram of the transform input is out-of-vocabulary
+        # (sklearn transform yields all-zero rows).
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
     pair_keys.sort()
     boundary = np.empty(len(pair_keys), dtype=bool)
     boundary[0] = True

@@ -10,8 +10,8 @@ from __future__ import annotations
 import ctypes
 import hashlib
 import os
+import platform
 import subprocess
-import tempfile
 from pathlib import Path
 from typing import Optional
 
@@ -22,23 +22,47 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
 
 
-def _cache_dir() -> Path:
+def _cache_dir() -> Optional[Path]:
+    """Per-user cache directory (mode 0700, ownership-checked).
+
+    A world-readable shared location would let another local user plant a
+    pre-built ``.so`` that gets dlopen'd into this process, so the cache
+    lives under the user's home/XDG cache and is refused when its ownership
+    or permissions are off.
+    """
     d = os.environ.get("STRING_GROUPER_TPU_NATIVE_CACHE")
     if d:
         p = Path(d)
     else:
-        p = Path(tempfile.gettempdir()) / "string_grouper_tpu_native"
-    p.mkdir(parents=True, exist_ok=True)
+        xdg = os.environ.get("XDG_CACHE_HOME")
+        base = Path(xdg) if xdg else Path.home() / ".cache"
+        p = base / "string_grouper_tpu" / "native"
+    try:
+        p.mkdir(parents=True, exist_ok=True, mode=0o700)
+        if hasattr(os, "geteuid"):
+            st = p.stat()
+            if st.st_uid != os.geteuid() or (st.st_mode & 0o022):
+                return None
+    except OSError:
+        return None
     return p
 
 
 def _build() -> Optional[Path]:
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
-    out = _cache_dir() / f"exact_scorer_{tag}.so"
+    # Key by source AND host CPU: -march=native output run on a different
+    # microarchitecture (shared home dirs) would SIGILL.
+    host = f"{platform.machine()}:{platform.processor()}".encode()
+    tag = hashlib.sha256(src + b"\0" + host).hexdigest()[:16]
+    cache = _cache_dir()
+    if cache is None:
+        return None
+    out = cache / f"exact_scorer_{tag}.so"
     if out.exists():
+        if hasattr(os, "geteuid") and out.stat().st_uid != os.geteuid():
+            return None
         return out
-    tmp = out.with_suffix(".so.tmp")
+    tmp = out.with_suffix(f".so.tmp.{os.getpid()}")
     cmd = [
         os.environ.get("CXX", "g++"),
         "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",

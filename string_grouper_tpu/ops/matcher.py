@@ -287,10 +287,17 @@ def _ub_topk_scan(
     w_cols = jnp.swapaxes(tc, 0, 1).reshape(m, n_tiles * kt)
     drop_bound = tbound
     if n_tiles * kt > cand_c:
+        # Truncation only DROPS something when a row extracted more than
+        # cand_c finite candidates; a row with exactly cand_c keeps them
+        # all, and reporting a bound for it would flag it unsafe forever
+        # (the escalation widths would never grow -> livelock).
+        n_finite = (w_vals > neg).sum(axis=1, dtype=jnp.int32)
         w_vals, idx = jax.lax.top_k(w_vals, cand_c)
         w_cols = jnp.take_along_axis(w_cols, idx, axis=1)
         # Truncation drops are bounded by the smallest kept value.
-        drop_bound = jnp.maximum(drop_bound, w_vals[:, -1])
+        drop_bound = jnp.maximum(
+            drop_bound, jnp.where(n_finite > cand_c, w_vals[:, -1], neg)
+        )
     return w_vals, w_cols, counts, max_cnt, drop_bound
 
 
@@ -562,16 +569,16 @@ def adaptive_topn(
     def unsafe_rows(bound, kept_q, row_cut):
         # Dropped candidates are bounded by the device-reported drop bound.
         # Cosine of L2-normalized rows never exceeds 1, so clamp the
-        # adjusted bound at 1.  The cut comparison is strict: a dropped
-        # candidate whose exact similarity EQUALS the cut can only be a
-        # structural clone of a kept one, and clones have bitwise-identical
-        # upper bounds, so the stable device top-k already kept the lower
-        # column ids (the reference's tie-break winners).
+        # adjusted bound at 1.  The cut comparison is >= (not >): a dropped
+        # candidate tied with the cut usually IS a structural clone of a
+        # kept one, but a bf16-shrunk bound near the slack limit could make
+        # a genuinely tied reference match sit exactly at the cut, so the
+        # few extra escalated rows are the safe trade.
         adj = np.minimum(bound * _UB_ADJ + _UB_ABS_SLACK, 1.0)
         return (
             (bound > -np.inf)
             & (adj >= qual_low)
-            & ((kept_q < max_n_eff) | (adj > row_cut))
+            & ((kept_q < max_n_eff) | (adj >= row_cut))
         )
 
     rows_f, cols_f, sims, counts, bound, max_cnt = collect(c, kt)
@@ -580,6 +587,8 @@ def adaptive_topn(
     )
     del rows_f, cols_f, sims
     escalations = 0
+    last_round = None  # (kt_big, c_full, n_unsafe) of the previous round
+    last_bucketed = False
     while True:
         unsafe = unsafe_rows(bound, kept_q, row_cut)
         if not unsafe.any():
@@ -610,7 +619,17 @@ def adaptive_topn(
         idx = np.flatnonzero(unsafe)
         kt_big = min(kt_cap, max(_next_pow2(max_cnt), kt))
         c_full = min(max(c_cap, 1), max(_next_pow2(int(counts[idx].max())), c))
-        if escalations < 4 and len(idx) * c_full > 32_000_000:
+        forced = escalations > 8 or (
+            (kt_big, c_full, len(idx)) == last_round and not last_bucketed
+        )
+        if forced:
+            # Termination guard: widths did not grow between rounds (or the
+            # loop is running away) -- force the caps, at which nothing can
+            # be dropped (k_tile == tile extracts every qualified column and
+            # C == padded corpus width fits them all), so the next unsafe
+            # check clears unconditionally.
+            kt_big, c_full = kt_cap, max(c_cap, 1)
+        if not forced and escalations < 4 and len(idx) * c_full > 32_000_000:
             # Bucketed escalation, only when the full-width re-match would
             # ship too much (each extra round costs a full re-select):
             # cover the bulk of the unsafe rows at the width the 90th
@@ -622,8 +641,11 @@ def adaptive_topn(
             covered = idx[counts[idx] <= c_big]
             if len(covered):
                 idx = covered
+            last_bucketed = c_big < c_full or len(idx) < int(unsafe.sum())
         else:
             c_big = c_full
+            last_bucketed = False
+        last_round = (kt_big, c_full, int(unsafe.sum()))
         logger.debug(
             "escalate %d rows to C=%d k_tile=%d (round %d)",
             len(idx), c_big, kt_big, escalations,

@@ -14,10 +14,14 @@ Two ``mallopt`` switches fix this process-wide:
   * ``M_TRIM_THRESHOLD`` huge: freed heap memory is never returned to the
     kernel, so pages fault once per process lifetime and are then reused.
 
-Applied automatically at package import (set
-``STRING_GROUPER_TPU_NO_MALLOC_TUNING=1`` to opt out).  ``prewarm`` touches
-an arena up front with one thread per core so the one-time fault cost is
-paid concurrently, before any timed region.
+Applied automatically at package import ONLY when a TPU-VM-like environment
+is detected (see :func:`should_tune`) -- on an ordinary Linux host, an
+application that merely imports this library should not get a process-wide
+"never return freed memory to the OS" policy.  Force with
+``STRING_GROUPER_TPU_MALLOC_TUNING=1`` (e.g. other microVM guests), opt out
+with ``STRING_GROUPER_TPU_NO_MALLOC_TUNING=1``.  ``prewarm`` touches an
+arena up front with one thread per core so the one-time fault cost is paid
+concurrently, before any timed region.
 """
 
 from __future__ import annotations
@@ -30,6 +34,22 @@ _M_TRIM_THRESHOLD = -1
 _M_MMAP_THRESHOLD = -3
 
 _applied = False
+
+
+def should_tune() -> bool:
+    """Whether the import-time tuning should run: explicit opt-in/out wins;
+    otherwise detect a TPU environment (the page-fault pathology this works
+    around is a TPU-VM/microVM trait, not ordinary Linux behavior)."""
+    if os.environ.get("STRING_GROUPER_TPU_NO_MALLOC_TUNING"):
+        return False
+    if os.environ.get("STRING_GROUPER_TPU_MALLOC_TUNING"):
+        return True
+    plats = (os.environ.get("JAX_PLATFORMS") or "").lower()
+    if "tpu" in plats or "axon" in plats:
+        return True
+    if os.environ.get("TPU_WORKER_ID") or os.environ.get("TPU_SKIP_MDS_QUERY"):
+        return True
+    return os.path.exists("/dev/vfio") and os.path.exists("/sys/class/vfio")
 
 
 def tune_malloc() -> bool:

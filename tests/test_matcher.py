@@ -257,3 +257,37 @@ def test_tiling_invariance_cross_join(left_chunk, right_tile, hash_dim):
     np.testing.assert_array_equal(got.rows, base.rows)
     np.testing.assert_array_equal(got.cols, base.cols)
     np.testing.assert_allclose(got.sims, base.sims, rtol=0, atol=0)
+
+
+def test_exact_width_clusters_terminate(caplog):
+    """Regression (advisor, round 1): a row whose qualified-candidate count
+    lands exactly on the escalated pow2 candidate width used to keep
+    reporting a finite truncation drop bound with nothing actually dropped,
+    and the escalation loop re-ran at identical widths forever.  64
+    near-identical strings + filler, max_n_matches=2, right_tile=64."""
+    import logging
+    import signal
+
+    strings = ["hyper mega global quantum systems incorporated"] * 64
+    strings += [f"zzfiller{i} qq{i} ww{i}" for i in range(192)]
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+
+    def on_alarm(signum, frame):  # pragma: no cover - only fires on regression
+        raise TimeoutError("adaptive_topn livelocked (escalation loop)")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(120)
+    try:
+        with caplog.at_level(logging.DEBUG, logger="string_grouper_tpu"):
+            got = topn_cosine_matches(ell, None, 0.8, 2, right_tile=64)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    expected = oracle_pairs(ell, None, 0.8, 2, True, True)
+    got_pairs = {
+        (int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)
+    }
+    assert set(got_pairs) == set(expected)
+    # The loop must settle in a handful of rounds, not hundreds.
+    assert caplog.text.count("escalate") < 12

@@ -199,3 +199,23 @@ def test_transform_drops_codepoints_outside_fitted_packing():
     expected = vec.transform(hard).toarray()
     got = enc.transform(hard).to_dense()
     np.testing.assert_allclose(got, expected, rtol=1e-13, atol=1e-15)
+
+
+def test_transform_all_out_of_vocabulary():
+    """Regression (advisor, round 1): transform of strings whose every
+    n-gram is out-of-vocabulary must yield all-zero rows (sklearn transform
+    semantics), not crash."""
+    from string_grouper_tpu.config import StringGrouperConfig
+    from string_grouper_tpu.corpus import TfidfEncoder
+
+    enc = TfidfEncoder(StringGrouperConfig())
+    enc.fit(["apple inc", "apple incorporated", "banana llc"])
+    out = enc.transform(["zzzzzz"])
+    assert out.n_rows == 1
+    assert (out.ids < 0).all()
+    assert (out.vals64 == 0).all()
+    # Mixed batch: known + unknown rows.
+    out2 = enc.transform(["apple inc", "qqqqqq"])
+    assert out2.n_rows == 2
+    assert (out2.ids[0] >= 0).any()
+    assert (out2.ids[1] < 0).all()

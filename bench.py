@@ -113,19 +113,27 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from string_grouper_tpu import group_similar_strings, match_strings
+    from string_grouper_tpu import StringGrouper
+
+    phases = {}
+
+    def run():
+        """One full pipeline pass; records per-phase walls into ``phases``."""
+        sg = StringGrouper(series, min_similarity=0.8).fit()
+        t0 = time.perf_counter()
+        out = sg.get_groups() if task == "group" else sg.get_matches()
+        phases.clear()
+        phases.update({k: round(v, 3) for k, v in sg.timings.seconds.items()})
+        phases["get_" + ("groups" if task == "group" else "matches")] = round(
+            time.perf_counter() - t0, 3
+        )
+        return out
 
     if task == "group":
         # Full dedup pipeline (matcher + on-device connected components +
         # centroid representatives), BASELINE.json config #4.
-        def run():
-            return group_similar_strings(series, min_similarity=0.8)
-
         metric = f"company_names_{n}_group_dedup_wall"
     else:
-        def run():
-            return match_strings(series)
-
         metric = f"company_names_{n}_selfmatch_wall"
 
     series = synthetic_company_names(n)
@@ -166,6 +174,11 @@ def main() -> None:
                 "n_output_rows": int(len(result)),
                 "runs_s": [round(w, 3) for w in walls],
                 "baseline_s": BASELINE_S,
+                # BASELINE.json primary metric: naive-equivalent pair
+                # comparisons per second per chip (n^2 candidates for the
+                # self-join; the reference hit ~1.3e9/s on 4 CPU threads).
+                "comparisons_per_s_per_chip": round(float(n) * n / wall),
+                "phases_s": dict(phases),
                 "device": str(jax.devices()[0]),
             }
         )

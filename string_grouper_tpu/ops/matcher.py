@@ -38,6 +38,7 @@ float64.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple
@@ -65,6 +66,14 @@ _UB_ABS_SLACK = 1e-4
 _UB_ADJ = 1.01
 
 _KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+
+# Download budget of the ragged-prefix compaction, in candidate slots per
+# left row (averaged over a segment).  Segments whose total valid count
+# exceeds it fall back to the full-width ship.
+_SHIP_BUDGET_ROWS = int(os.environ.get("SG_TPU_SHIP_BUDGET", "16"))
+# Minimum escalated-ship size (slots) before the escalation download is
+# compacted too; tiny re-matches are cheaper shipped whole.
+_ROWS_COMPACT_MIN = 1 << 20
 
 
 @dataclass
@@ -298,6 +307,12 @@ def _ub_topk_scan(
         drop_bound = jnp.maximum(
             drop_bound, jnp.where(n_finite > cand_c, w_vals[:, -1], neg)
         )
+    else:
+        # Sort descending anyway so each row's valid candidates form a
+        # prefix -- the invariant the ragged-prefix download compaction
+        # (``_compact_cols``) relies on.
+        w_vals, idx = jax.lax.top_k(w_vals, n_tiles * kt)
+        w_cols = jnp.take_along_axis(w_cols, idx, axis=1)
     return w_vals, w_cols, counts, max_cnt, drop_bound
 
 
@@ -323,6 +338,40 @@ def finalize_ship(w_vals: jax.Array, w_cols: jax.Array):
     """Wire format for the download: sentinel columns."""
     neg = jnp.float32(-jnp.inf)
     return jnp.where(w_vals > neg, w_cols, -1)
+
+
+@partial(jax.jit, static_argnames=("budget",))
+def _compact_cols(cols: jax.Array, budget: int):
+    """Ragged-prefix compaction of a sentinel-column candidate matrix.
+
+    ``cols`` is (R, C) int32 with each row's valid entries (>= 0) in a
+    prefix (the descending-UB sort in ``_ub_topk_scan`` guarantees it).
+    Returns ``(flat, n_i)``: ``n_i[r]`` the per-row valid count, ``flat``
+    (budget,) the row-major concatenation of every row's valid prefix, -1
+    padded.  Entries beyond ``budget`` are dropped -- the host detects that
+    via ``n_i.sum() > budget`` and falls back to the full matrix.
+
+    The candidate matrix at the default width is ~30x larger than its valid
+    entries, and the host link is the scarce resource (docs/performance.md),
+    so this runs as a device epilogue per segment.  Scatter-free except one
+    R-element scatter-add (TPU scatters are slow, but R ~ 32k rows is cheap
+    -- compacting the 40M-slot matrix by scatter would not be).
+    """
+    r, c = cols.shape
+    n_i = (cols >= 0).sum(axis=1, dtype=jnp.int32)
+    ends = jnp.cumsum(n_i)
+    starts = ends - n_i
+    total = ends[-1]
+    # out_row[j] = the row owning output slot j: scatter a mark at every
+    # row's start, prefix-sum.  Duplicate starts (empty rows) accumulate,
+    # so the cumsum skips them correctly.
+    marks = jnp.zeros((budget,), jnp.int32).at[starts].add(1, mode="drop")
+    out_row = jnp.cumsum(marks) - 1
+    j = jnp.arange(budget, dtype=jnp.int32)
+    k = j - starts[out_row]
+    idx = jnp.clip(out_row * c + k, 0, r * c - 1)
+    flat = jnp.where(j < total, cols.reshape(-1)[idx], -1)
+    return flat, n_i
 
 
 @partial(jax.jit, static_argnames=("cand_c", "k_tile", "use_kernel"))
@@ -395,58 +444,115 @@ def _phase1_single(
     n_seg = n_chunks // cpg
     seg_rows = cpg * chunk
 
+    n_right = right.n_rows
+
     def run_stream(thr_eff, cand_c, k_tile):
-        """Yield (row_base, cols, ub_last, counts, max_cnt) per segment.
-        All segments are dispatched up front; the device queue drains while
-        the consumer scores earlier segments."""
+        """Yield ``(rows, cols, base, rows_here, bound, counts, max_cnt)``
+        per segment -- rows/cols are the segment's candidate pairs (global
+        int64 ids).  All segments are dispatched up front (including the
+        compaction epilogue); the device queue drains while the consumer
+        scores earlier segments."""
         thr = jnp.float32(thr_eff)
         use_k = on_tpu and fused_tile_topk_supported(
             chunk, tile, hash_dim, k_tile
         )
-        futs = [
-            _corpus_match(
+        # Ragged-prefix compaction: skip when thresholdless (every column
+        # qualifies -- nothing to compact) or the full ship is small anyway.
+        do_compact = thr_eff > 0 and cand_c > _SHIP_BUDGET_ROWS
+        budget = -(-seg_rows * _SHIP_BUDGET_ROWS // 1024) * 1024
+        futs = []
+        for g in range(n_seg):
+            cols, bound, counts, max_cnt = _corpus_match(
                 a_hash_chunks[g * cpg : (g + 1) * cpg],
                 b_hash_tiles, thr, cand_c, k_tile, use_k,
             )
-            for g in range(n_seg)
-        ]
-        for g, (cols, ub_last, counts, max_cnt) in enumerate(futs):
+            cols2 = cols.reshape(-1, cols.shape[-1])
+            flat = n_i = None
+            if do_compact:
+                flat, n_i = _compact_cols(cols2, budget)
+            futs.append((cols2, flat, n_i, bound, counts, max_cnt))
+        for g, (cols2, flat, n_i, bound, counts, max_cnt) in enumerate(futs):
             base = g * seg_rows
             rows_here = max(0, min(seg_rows, n_left - base))
             if rows_here == 0:
                 continue
-            w = cols.shape[-1]
-            yield (
-                base,
-                np.asarray(cols).reshape(-1, w)[:rows_here],
-                np.asarray(ub_last).reshape(-1)[:rows_here],
-                np.asarray(counts).reshape(-1)[:rows_here],
-                int(max_cnt),
+            counts_h = np.asarray(counts).reshape(-1)[:rows_here]
+            bound_h = np.asarray(bound).reshape(-1)[:rows_here]
+            mc = int(max_cnt)
+            if flat is not None:
+                n_i_h = np.asarray(n_i)
+                total = int(n_i_h.sum())
+                if total <= budget:
+                    flat_h = np.asarray(flat)[:total].astype(np.int64)
+                    rows_l = np.repeat(
+                        np.arange(seg_rows, dtype=np.int64), n_i_h
+                    )
+                    # Padded left rows score 0 < thr (none qualify), but
+                    # keep the guard cheap and unconditional.
+                    keep = (rows_l < rows_here) & (flat_h < n_right)
+                    yield (
+                        base + rows_l[keep], flat_h[keep],
+                        base, rows_here, bound_h, counts_h, mc,
+                    )
+                    continue
+            cols_h = np.asarray(cols2)[:rows_here]
+            r_g, c_g = _pairs_from_ship(
+                cols_h, n_right,
+                row_ids=base + np.arange(rows_here, dtype=np.int64),
             )
+            yield (r_g, c_g, base, rows_here, bound_h, counts_h, mc)
 
     a_flat = a_hash_chunks.reshape(-1, hash_dim)
 
-    def run_rows(row_idx: np.ndarray, thr_eff, cand_c, k_tile):
+    def run_rows(row_idx: np.ndarray, thr_eff, cand_c, k_tile,
+                 budget_hint: Optional[int] = None):
         """Phase 1 restricted to the given left rows (hot-row escalation):
         device-gathers those rows' hash vectors and matches them at a larger
         candidate width, so one skewed row never inflates the whole
-        corpus's download."""
+        corpus's download.  Returns ``(rows_pos, cols, bound)`` where
+        rows_pos indexes into ``row_idx``.  ``budget_hint`` (an upper bound
+        on the total valid candidates, from the driver's qualified counts)
+        enables compacting the escalated download too."""
         m = len(row_idx)
         m_p = -(-m // chunk) * chunk
         idx = np.zeros(m_p, dtype=np.int32)
         idx[:m] = row_idx
-        a_sel = a_flat[jnp.asarray(idx)].reshape(-1, chunk, hash_dim)
+        a_sel = a_flat[jnp.asarray(idx)]
+        if m_p > m:
+            # Zero the padding rows (instead of duplicating row idx[0]) so
+            # they produce no candidates and no download bytes.
+            valid = (jnp.arange(m_p) < m)[:, None]
+            a_sel = jnp.where(valid, a_sel, 0)
+        a_sel = a_sel.reshape(-1, chunk, hash_dim)
         use_k = on_tpu and fused_tile_topk_supported(
             chunk, tile, hash_dim, k_tile
         )
         cols, ub_last, counts, max_cnt = _corpus_match(
             a_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile, use_k
         )
-        w = cols.shape[-1]
-        return (
-            np.asarray(cols).reshape(-1, w)[:m],
-            np.asarray(ub_last).reshape(-1)[:m],
-        )
+        cols2 = cols.reshape(-1, cols.shape[-1])
+        bound_h = np.asarray(ub_last).reshape(-1)[:m]
+        w = cols2.shape[-1]
+        if (
+            thr_eff > 0
+            and budget_hint is not None
+            and m_p * w > _ROWS_COMPACT_MIN
+        ):
+            budget = _next_pow2(budget_hint + 8)
+            if budget < m_p * w:
+                flat, n_i = _compact_cols(cols2, budget)
+                n_i_h = np.asarray(n_i)
+                total = int(n_i_h.sum())
+                if total <= budget:
+                    flat_h = np.asarray(flat)[:total].astype(np.int64)
+                    rows_l = np.repeat(
+                        np.arange(m_p, dtype=np.int64), n_i_h
+                    )
+                    keep = (rows_l < m) & (flat_h < n_right)
+                    return rows_l[keep], flat_h[keep], bound_h
+        cols_h = np.asarray(cols2)[:m]
+        rows_pos, cols_f = _pairs_from_ship(cols_h, n_right)
+        return rows_pos, cols_f, bound_h
 
     n_tiles = n_right_p // tile
     return run_stream, run_rows, n_right_p, tile, n_tiles
@@ -538,14 +644,9 @@ def adaptive_topn(
         max_cnt = 0
         # Stream segments: exact fp64 scoring of each segment overlaps the
         # device matching of the next.
-        for base, cols_g, bound_g, counts_g, mc_g in phase1_run(
+        for r_g, cl_g, base, m_g, bound_g, counts_g, mc_g in phase1_run(
             effective_threshold(min_similarity), c, kt
         ):
-            m_g = len(counts_g)
-            r_g, cl_g = _pairs_from_ship(
-                cols_g, right.n_rows,
-                row_ids=base + np.arange(m_g, dtype=np.int64),
-            )
             sims_g = rescore_pairs_fp64(left, right, r_g, cl_g)
             rows_parts.append(r_g)
             cols_parts.append(cl_g)
@@ -650,12 +751,11 @@ def adaptive_topn(
             "escalate %d rows to C=%d k_tile=%d (round %d)",
             len(idx), c_big, kt_big, escalations,
         )
-        sub_cols, sub_bound = phase1_run_rows(
-            idx, effective_threshold(min_similarity), c_big, kt_big
+        rows_pos, sub_cols_f, sub_bound = phase1_run_rows(
+            idx, effective_threshold(min_similarity), c_big, kt_big,
+            budget_hint=int(counts[idx].sum()),
         )
-        sub_rows, sub_cols_f = _pairs_from_ship(
-            sub_cols, right.n_rows, row_ids=idx.astype(np.int64)
-        )
+        sub_rows = idx.astype(np.int64)[rows_pos]
         sub_sims = rescore_pairs_fp64(left, right, sub_rows, sub_cols_f)
         # Incremental re-selection: top-n is independent per row, so only
         # the escalated rows' selections change (the re-run returns a

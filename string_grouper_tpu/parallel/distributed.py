@@ -41,6 +41,7 @@ from ..ops.matcher import (
     MatchPairs,
     _next_pow2,
     _pad_width,
+    _pairs_from_ship,
     adaptive_topn,
     apply_self_join_fixups,
     build_hash_matrix,
@@ -195,9 +196,14 @@ def _phase1_distributed(
             cand_c, k_tile,
         )
         w = cols.shape[-1]
+        rows_g, cols_g = _pairs_from_ship(
+            np.asarray(cols).reshape(-1, w)[:n_left], n_right
+        )
         yield (
+            rows_g,
+            cols_g,
             0,
-            np.asarray(cols).reshape(-1, w)[:n_left],
+            n_left,
             np.asarray(ub_last).reshape(-1)[:n_left],
             np.asarray(counts).reshape(-1)[:n_left],
             int(max_cnt),

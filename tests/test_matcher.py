@@ -291,3 +291,75 @@ def test_exact_width_clusters_terminate(caplog):
     assert set(got_pairs) == set(expected)
     # The loop must settle in a handful of rounds, not hundreds.
     assert caplog.text.count("escalate") < 12
+
+
+class TestShipCompaction:
+    """The ragged-prefix download compaction (matcher._compact_cols) and its
+    overflow fallback must never change results."""
+
+    def test_compact_cols_matches_numpy(self):
+        import jax.numpy as jnp
+        from string_grouper_tpu.ops import matcher as M
+
+        rng = np.random.default_rng(3)
+        for _ in range(8):
+            r, c = int(rng.integers(1, 40)), int(rng.integers(1, 12))
+            n_i = rng.integers(0, c + 1, size=r)
+            cols = np.full((r, c), -1, dtype=np.int32)
+            for i in range(r):
+                cols[i, : n_i[i]] = rng.integers(0, 1000, size=n_i[i])
+            total = int(n_i.sum())
+            budget = max(8, total + int(rng.integers(0, 16)))
+            flat, n_out = M._compact_cols(jnp.asarray(cols), budget)
+            flat, n_out = np.asarray(flat), np.asarray(n_out)
+            np.testing.assert_array_equal(n_out, n_i)
+            expected = np.concatenate(
+                [cols[i, : n_i[i]] for i in range(r)]
+            ) if total else np.zeros(0, np.int32)
+            np.testing.assert_array_equal(flat[:total], expected)
+            assert (flat[total:] == -1).all()
+
+    def test_compact_cols_overflow_keeps_counts(self):
+        import jax.numpy as jnp
+        from string_grouper_tpu.ops import matcher as M
+
+        cols = np.arange(40, dtype=np.int32).reshape(4, 10)  # all valid
+        flat, n_out = M._compact_cols(jnp.asarray(cols), 16)
+        assert np.asarray(n_out).sum() == 40  # host detects 40 > 16
+        np.testing.assert_array_equal(np.asarray(flat), np.arange(16))
+
+    @pytest.mark.parametrize("budget_rows", [1, 4, 1 << 20])
+    def test_results_invariant_to_budget(self, monkeypatch, budget_rows):
+        from string_grouper_tpu.ops import matcher as M
+
+        strings = random_names(300, seed=5)
+        enc = TfidfEncoder(StringGrouperConfig())
+        ell, _ = enc.fit_transform_pair(strings, None)
+        base = topn_cosine_matches(ell, None, 0.6, 20)
+        monkeypatch.setattr(M, "_SHIP_BUDGET_ROWS", budget_rows)
+        monkeypatch.setattr(M, "_ROWS_COMPACT_MIN", 0)
+        got = topn_cosine_matches(ell, None, 0.6, 20)
+        np.testing.assert_array_equal(got.rows, base.rows)
+        np.testing.assert_array_equal(got.cols, base.cols)
+        np.testing.assert_allclose(got.sims, base.sims, rtol=0, atol=0)
+
+    def test_escalation_with_compacted_rows(self, monkeypatch, caplog):
+        """Escalated re-match (run_rows) with compaction active stays
+        exact."""
+        import logging
+
+        from string_grouper_tpu.ops import matcher as M
+
+        monkeypatch.setattr(M, "_ROWS_COMPACT_MIN", 0)
+        strings = ["hyper mega global quantum systems incorporated"] * 40
+        strings += random_names(200, seed=6)
+        enc = TfidfEncoder(StringGrouperConfig())
+        ell, _ = enc.fit_transform_pair(strings, None)
+        with caplog.at_level(logging.DEBUG, logger="string_grouper_tpu"):
+            got = topn_cosine_matches(ell, None, 0.8, 5, right_tile=64)
+        assert "escalate" in caplog.text
+        expected = oracle_pairs(ell, None, 0.8, 5, True, True)
+        got_pairs = {
+            (int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)
+        }
+        assert set(got_pairs) == set(expected)

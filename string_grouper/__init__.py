@@ -1,8 +1,12 @@
 """Drop-in alias for the reference package name: ``from string_grouper
 import match_strings`` works unchanged against the TPU-native build
-(reference string_grouper/__init__.py:1-2)."""
+(reference string_grouper/__init__.py:1-2).
 
-from string_grouper_tpu import (
+The functions are re-exported from the inner ``.string_grouper`` module —
+mirroring the reference layout — so mock-patching
+``string_grouper.string_grouper.StringGrouper`` intercepts them."""
+
+from .string_grouper import (
     StringGrouper,
     StringGrouperConfig,
     StringGrouperNotFitException,

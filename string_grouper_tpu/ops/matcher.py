@@ -676,10 +676,16 @@ def adaptive_topn(
         # a genuinely tied reference match sit exactly at the cut, so the
         # few extra escalated rows are the safe trade.
         adj = np.minimum(bound * _UB_ADJ + _UB_ABS_SLACK, 1.0)
+        # The exact fp64 rescore can round a true-1.0 similarity slightly
+        # ABOVE 1 (e.g. 1.0000000000000002 for identical strings), so the
+        # cut must be clamped like the bound -- otherwise a row whose top-n
+        # cut rounds above 1 is wrongly deemed safe while its dropped
+        # candidates carry the same above-1 exact score.
+        cut = np.minimum(row_cut, 1.0)
         return (
             (bound > -np.inf)
             & (adj >= qual_low)
-            & ((kept_q < max_n_eff) | (adj >= row_cut))
+            & ((kept_q < max_n_eff) | (adj >= cut))
         )
 
     rows_f, cols_f, sims, counts, bound, max_cnt = collect(c, kt)

@@ -13,11 +13,17 @@ runs on the local (left-chunk x right-shard) block.  The per-shard
 candidates merge by ``all_gather`` concatenation over ``mp`` -- the
 collective form of the reference's ``zip_sp_matmul_topn`` merge
 (string_grouper.py:746); no re-sort is needed because the host scores
-every shipped candidate exactly.  Qualified-candidate
-counts are ``psum``'d over ``mp`` so the host-side adaptive candidate-width
-loop sees global counts, preserving the single-chip no-drop guarantee:
-shard count never changes the returned pair set.  Exact float64 scoring of
-the shipped candidates is the same host phase 2 as the single-chip path.
+every shipped candidate exactly.  Qualified-candidate counts and drop
+bounds reduce with ``pmax`` over ``mp`` -- each shard drops candidates only
+against its own per-shard caps, so the tightest per-shard maximum (not a
+sum) is what the host-side adaptive width loop must cover -- preserving
+the single-chip no-drop guarantee: shard count never changes the returned
+pair set.  Exact float64 scoring of the shipped candidates is the same
+host phase 2 as the single-chip path, overlapped with device matching by
+streaming left-side segments; unsafe rows re-match individually via the
+same per-row escalation contract as the single-chip driver
+(ops/matcher.py ``adaptive_topn``), so one hot row never forces a global
+re-match of the whole mesh.
 
 Document-frequency counts for a corpus sharded over devices reduce with
 ``jax.lax.psum`` (:func:`distributed_df_counts`), yielding the replicated
@@ -38,7 +44,10 @@ from jax import shard_map
 
 from ..corpus.tfidf import EllMatrix
 from ..ops.matcher import (
+    _ROWS_COMPACT_MIN,
+    _SHIP_BUDGET_ROWS,
     MatchPairs,
+    _compact_cols,
     _next_pow2,
     _pad_width,
     _pairs_from_ship,
@@ -157,6 +166,19 @@ def _dist_match(
     return fn(a_hash_chunks, b_hash_tiles, thr_eff)
 
 
+@partial(jax.jit, static_argnames=("budget",))
+def _sort_compact(cols: jax.Array, budget: int):
+    """Ragged-prefix compaction of the mesh-gathered candidate matrix.
+
+    After the ``all_gather`` over ``mp`` each row is a concatenation of
+    per-shard prefixes, so the valid entries are NOT one prefix; a per-row
+    descending sort (sentinel -1 sinks to the end) restores the prefix
+    invariant ``ops.matcher._compact_cols`` needs.  Candidate order within
+    a row is irrelevant -- the host rescores every shipped pair exactly."""
+    cols = -jnp.sort(-cols, axis=1)
+    return _compact_cols(cols, budget)
+
+
 def _phase1_distributed(
     left: EllMatrix,
     right: EllMatrix,
@@ -166,8 +188,11 @@ def _phase1_distributed(
     left_chunk: int,
     right_tile: int,
 ):
-    """Device-resident sharded hash matrices + phase-1 closure for the
-    shared adaptive driver."""
+    """Device-resident sharded hash matrices + phase-1 closures for the
+    shared adaptive driver: ``run_stream`` (segmented whole-corpus pass,
+    host scoring overlapping device matching) and ``run_rows`` (per-row
+    hot-row escalation under the mesh) -- the same contract as the
+    single-chip ``ops.matcher._phase1_single``."""
     dp = mesh.shape["dp"]
     mp = mesh.shape["mp"]
     n_left, n_right = left.n_rows, right.n_rows
@@ -188,28 +213,111 @@ def _phase1_distributed(
         a_hash = b_hash[:n_left_p]
     else:
         a_hash = build_hash_matrix(left, n_left_p, hash_dim)
-    a_hash_chunks = a_hash.reshape(n_left_p // sc, sc, hash_dim)
+
+    # Segment the left super-chunks so host-side exact scoring of one
+    # segment overlaps the device matching of the next (same policy as the
+    # single-chip path).
+    n_sc = n_left_p // sc
+    n_seg = min(8, max(1, n_sc // 8))
+    spg = -(-n_sc // n_seg)  # super-chunks per segment
+    if n_sc % spg:
+        extra = spg - n_sc % spg
+        pad = jnp.zeros((extra * sc, hash_dim), a_hash.dtype)
+        a_hash = jnp.concatenate([a_hash, pad])
+        n_sc += extra
+    a_hash_chunks = a_hash.reshape(n_sc, sc, hash_dim)
+    n_seg = n_sc // spg
+    seg_rows = spg * sc
 
     def run_stream(thr_eff, cand_c, k_tile):
-        cols, ub_last, counts, max_cnt = _dist_match(
-            mesh, a_hash_chunks, b_hash_tiles, jnp.float32(thr_eff),
-            cand_c, k_tile,
-        )
-        w = cols.shape[-1]
-        rows_g, cols_g = _pairs_from_ship(
-            np.asarray(cols).reshape(-1, w)[:n_left], n_right
-        )
-        yield (
-            rows_g,
-            cols_g,
-            0,
-            n_left,
-            np.asarray(ub_last).reshape(-1)[:n_left],
-            np.asarray(counts).reshape(-1)[:n_left],
-            int(max_cnt),
-        )
+        thr = jnp.float32(thr_eff)
+        do_compact = thr_eff > 0 and cand_c > _SHIP_BUDGET_ROWS
+        budget = -(-seg_rows * _SHIP_BUDGET_ROWS // 1024) * 1024
+        futs = []
+        for g in range(n_seg):
+            cols, bound, counts, max_cnt = _dist_match(
+                mesh, a_hash_chunks[g * spg : (g + 1) * spg],
+                b_hash_tiles, thr, cand_c, k_tile,
+            )
+            cols2 = cols.reshape(-1, cols.shape[-1])
+            flat = n_i = None
+            if do_compact:
+                flat, n_i = _sort_compact(cols2, budget)
+            futs.append((cols2, flat, n_i, bound, counts, max_cnt))
+        for g, (cols2, flat, n_i, bound, counts, max_cnt) in enumerate(futs):
+            base = g * seg_rows
+            rows_here = max(0, min(seg_rows, n_left - base))
+            if rows_here == 0:
+                continue
+            counts_h = np.asarray(counts).reshape(-1)[:rows_here]
+            bound_h = np.asarray(bound).reshape(-1)[:rows_here]
+            mc = int(max_cnt)
+            if flat is not None:
+                n_i_h = np.asarray(n_i)
+                total = int(n_i_h.sum())
+                if total <= budget:
+                    flat_h = np.asarray(flat)[:total].astype(np.int64)
+                    rows_l = np.repeat(
+                        np.arange(seg_rows, dtype=np.int64), n_i_h
+                    )
+                    keep = (rows_l < rows_here) & (flat_h < n_right)
+                    yield (
+                        base + rows_l[keep], flat_h[keep],
+                        base, rows_here, bound_h, counts_h, mc,
+                    )
+                    continue
+            cols_h = np.asarray(cols2)[:rows_here]
+            r_g, c_g = _pairs_from_ship(
+                cols_h, n_right,
+                row_ids=base + np.arange(rows_here, dtype=np.int64),
+            )
+            yield (r_g, c_g, base, rows_here, bound_h, counts_h, mc)
 
-    return run_stream, n_loc, tile, n_tiles_loc
+    a_flat = a_hash_chunks.reshape(-1, hash_dim)
+
+    def run_rows(row_idx: np.ndarray, thr_eff, cand_c, k_tile,
+                 budget_hint: Optional[int] = None):
+        """Hot-row escalation under the mesh: device-gather the unsafe
+        rows' hash vectors and re-match only them at larger per-shard
+        widths -- the mesh analog of matcher.py's ``run_rows``, so one
+        skewed row never forces a full-corpus re-match."""
+        m = len(row_idx)
+        m_p = -(-m // sc) * sc
+        idx = np.zeros(m_p, dtype=np.int32)
+        idx[:m] = row_idx
+        a_sel = a_flat[jnp.asarray(idx)]
+        if m_p > m:
+            valid = (jnp.arange(m_p) < m)[:, None]
+            a_sel = jnp.where(valid, a_sel, 0)
+        a_sel = a_sel.reshape(-1, sc, hash_dim)
+        cols, ub_last, counts, max_cnt = _dist_match(
+            mesh, a_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile
+        )
+        cols2 = cols.reshape(-1, cols.shape[-1])
+        bound_h = np.asarray(ub_last).reshape(-1)[:m]
+        w = cols2.shape[-1]
+        if (
+            thr_eff > 0
+            and budget_hint is not None
+            and m_p * w > _ROWS_COMPACT_MIN
+        ):
+            # counts are per-shard maxima, so the total valid count can
+            # reach mp times the hint; overflow still falls back safely.
+            budget = _next_pow2(budget_hint * mp + 8)
+            if budget < m_p * w:
+                flat, n_i = _sort_compact(cols2, budget)
+                n_i_h = np.asarray(n_i)
+                total = int(n_i_h.sum())
+                if total <= budget:
+                    flat_h = np.asarray(flat)[:total].astype(np.int64)
+                    rows_l = np.repeat(np.arange(m_p, dtype=np.int64), n_i_h)
+                    keep = (rows_l < m) & (flat_h < n_right)
+                    return rows_l[keep], flat_h[keep], bound_h
+        cols_h = np.asarray(cols2)[:m]
+        rows_pos, cols_f = _pairs_from_ship(cols_h, n_right)
+        return rows_pos, cols_f, bound_h
+
+    return run_stream, run_rows, n_loc, tile, n_tiles_loc
 
 
 def distributed_topn_cosine_matches(
@@ -237,7 +345,7 @@ def distributed_topn_cosine_matches(
     right_m = left if is_self else _pad_width(right_m, width)
     max_n = right_m.n_rows if max_n_matches is None else max_n_matches
 
-    run, n_loc, tile, n_tiles_loc = _phase1_distributed(
+    run, run_rows, n_loc, tile, n_tiles_loc = _phase1_distributed(
         left, right_m, is_self, mesh, hash_dim, left_chunk, right_tile
     )
     c0 = initial_cand_c(min_similarity, max_n, right_m.n_rows, n_loc)
@@ -245,6 +353,7 @@ def distributed_topn_cosine_matches(
     pairs = adaptive_topn(
         run, left, right_m, min_similarity, max_n,
         c_cap=n_loc, kt_cap=tile, n_tiles=n_tiles_loc, c0=c0, kt0=kt0,
+        phase1_run_rows=run_rows,
     )
     if is_self and force_symmetries:
         return apply_self_join_fixups(pairs, left.n_rows)

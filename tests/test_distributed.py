@@ -101,6 +101,32 @@ class TestShardInvariance:
         pd.testing.assert_frame_equal(_pairs_frame(got), _pairs_frame(ref))
 
 
+class TestMeshHotRowEscalation:
+    @pytest.mark.parametrize("dp,mp", [(1, 4), (2, 2), (4, 1)])
+    def test_hot_rows_escalate_per_row_not_globally(self, dp, mp, caplog):
+        """A cluster of near-identical strings overflows the initial
+        candidate width; the mesh driver must re-match just those rows
+        (per-row escalation, matcher.py adaptive_topn contract) instead of
+        re-running phase 1 over the whole corpus at grown widths -- and the
+        result must still equal the single-chip matcher's exactly."""
+        import logging
+
+        strings = ["hyper mega global quantum systems incorporated"] * 40
+        strings += [f"zzfiller{i} qq{i} ww{i}" for i in range(88)]
+        config = StringGrouperConfig(min_similarity=0.8)
+        left, _ = _encode(pd.Series(strings), config)
+        ref = topn_cosine_matches(left, None, 0.8, 5)
+        mesh = make_mesh(dp * mp, dp=dp)
+        with caplog.at_level(logging.DEBUG, logger="string_grouper_tpu"):
+            got = distributed_topn_cosine_matches(
+                left, None, 0.8, 5, mesh, left_chunk=16, right_tile=16
+            )
+        assert "escalate" in caplog.text
+        # One whole-corpus phase-1 pass only: growth happens per row.
+        assert caplog.text.count("phase1: C=") == 1
+        pd.testing.assert_frame_equal(_pairs_frame(got), _pairs_frame(ref))
+
+
 class TestDistributedTfidf:
     def test_df_psum_and_idf_match_host_encoder(self):
         """DF counts sharded over the mesh reduce (psum) to the host

@@ -195,12 +195,36 @@ class TestHotRowHandling:
         return caplog.text
 
     def test_safe_drop_no_escalation(self, caplog):
-        """max_n=1: every row's top-1 cut is the exact-1.0 self match, which
-        no dropped candidate can beat (cosine <= 1, strict comparison), so
-        the dropped candidates are proven irrelevant -- exact results, no
-        escalation."""
-        log = self._run(max_n=1, caplog=caplog)
-        assert "escalate" not in log
+        """max_n=1 with a moderate-similarity cluster: every row's top-1 cut
+        is the exact ~1.0 self match while all dropped candidates carry
+        upper bounds well below it (sims ~0.85-0.93), so the drops are
+        proven irrelevant -- exact results, no escalation.  (Dropped bounds
+        NEAR the cut must escalate instead: an exact-tied clone can round to
+        the same fp64 value as the cut and win the column tie-break; see
+        unsafe_rows in ops/matcher.py.)"""
+        import logging
+
+        base = "hyper mega global quantum systems incorporated"
+        # Three-character deletions: similarities to each other ~0.85-0.93,
+        # far enough below 1 that the 1% UB slack cannot reach the cut.
+        rng = np.random.default_rng(1)
+        variants = [base]
+        for _ in range(90):
+            s = base
+            for pos in sorted(rng.integers(1, len(base) - 4, 3))[::-1]:
+                s = s[:pos] + s[pos + 1:]
+            variants.append(s)
+        strings = list(dict.fromkeys(variants)) + self._corpus(base)[91:]
+        enc = TfidfEncoder(StringGrouperConfig())
+        ell, _ = enc.fit_transform_pair(strings, None)
+        with caplog.at_level(logging.DEBUG, logger="string_grouper_tpu"):
+            got = topn_cosine_matches(ell, None, 0.8, 1)
+        expected = oracle_pairs(ell, None, 0.8, 1, True, True)
+        got_pairs = {
+            (int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)
+        }
+        assert set(got_pairs) == set(expected)
+        assert "escalate" not in caplog.text
 
     def test_escalation_path(self, caplog):
         """~250 distinct variants with near-equal similarities: the

@@ -185,7 +185,18 @@ class TfidfEncoder:
 
         rows, terms, tf = _unique_row_term_counts(row_ids, t_idx, n_terms)
         df = np.bincount(terms, minlength=n_terms)
-        self.idf_ = np.log((1.0 + n_rows) / (1.0 + df)) + 1.0
+        if self.config.tfidf_matrix_dtype == np.float32:
+            # sklearn computes the whole smooth-IDF chain in the matrix
+            # dtype (TfidfTransformer.fit: df cast to dtype, then /=, log,
+            # += all in float32) -- reproduce each rounding step.
+            df32 = df.astype(np.float32) + np.float32(1.0)
+            idf = np.full_like(df32, n_rows + 1, dtype=np.float32)
+            idf /= df32
+            np.log(idf, out=idf)
+            idf += np.float32(1.0)
+            self.idf_ = idf
+        else:
+            self.idf_ = np.log((1.0 + n_rows) / (1.0 + df)) + 1.0
 
         return self._encode(rows, terms, tf, n_rows, n_terms)
 
@@ -244,6 +255,20 @@ class TfidfEncoder:
         n_rows: int,
         n_terms: int,
     ) -> EllMatrix:
+        if self.config.tfidf_matrix_dtype == np.float32:
+            # dtype flows into the MATRIX, not just the output (reference
+            # string_grouper.py:306: TfidfVectorizer(dtype=...)).  sklearn's
+            # float32 rounding points, verified bitwise against sklearn
+            # 1.9: tf*idf as an f32*f32 multiply (X.data *= idf_), squares
+            # in f32 with sequential float64 accumulation
+            # (inplace_csr_row_normalize_l2's `double sum_`), then the
+            # f32/f64 division rounded back to f32.
+            w = tf.astype(np.float32) * self.idf_[terms].astype(np.float32)
+            norm_sq = np.bincount(rows, weights=w * w, minlength=n_rows)
+            norm = np.sqrt(norm_sq)
+            safe = np.where(norm > 0, norm, 1.0)
+            vals = (w / safe[rows]).astype(np.float32).astype(np.float64)
+            return _ell_from_unique_pairs(rows, terms, vals, n_rows, n_terms)
         w = tf.astype(np.float64) * self.idf_[terms]
         norm_sq = np.bincount(rows, weights=w * w, minlength=n_rows)
         norm = np.sqrt(norm_sq)

@@ -60,12 +60,16 @@ def connected_components(
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     e = len(edges_a)
-    # Pad edge list to a power of two with harmless self-loops to bound the
-    # number of compiled shapes.
+    # Pad BOTH the edge list and the node count to powers of two so every
+    # corpus size reuses one compiled kernel per pow2 bucket (XLA compiles
+    # of the while-loop kernel take minutes on slow hosts).  Padding edges
+    # are self-loops on padding nodes, which keep their own labels and are
+    # sliced off.
     cap = _next_pow2(max(e, 8))
-    a = np.zeros(cap, dtype=np.int32)
-    b = np.zeros(cap, dtype=np.int32)
+    n_pad = _next_pow2(max(n, 8))
+    a = np.full(cap, n_pad - 1, dtype=np.int32)
+    b = np.full(cap, n_pad - 1, dtype=np.int32)
     a[:e] = edges_a
     b[:e] = edges_b
-    labels = _cc_kernel(jnp.asarray(a), jnp.asarray(b), n)
-    return np.asarray(labels).astype(np.int64)
+    labels = _cc_kernel(jnp.asarray(a), jnp.asarray(b), n_pad)
+    return np.asarray(labels[:n]).astype(np.int64)

@@ -219,3 +219,51 @@ def test_transform_all_out_of_vocabulary():
     assert out2.n_rows == 2
     assert (out2.ids[0] >= 0).any()
     assert (out2.ids[1] < 0).all()
+
+
+@pytest.mark.parametrize("name", list(CORPORA))
+def test_float32_matrix_matches_sklearn_bitwise(name):
+    """tfidf_matrix_dtype=float32 flows into the matrix values (reference
+    string_grouper.py:306), reproducing sklearn's f32 rounding points
+    bit-for-bit: f32(tf*idf), float64 norm accumulation, f32 division."""
+    strings = CORPORA[name]
+    config = StringGrouperConfig(tfidf_matrix_dtype=np.float32)
+    vec = TfidfVectorizer(
+        min_df=1,
+        analyzer=lambda s: reference_ngrams(s, config),
+        dtype=np.float32,
+    )
+    expected = vec.fit_transform(strings).toarray()
+    got = TfidfEncoder(config).fit_transform(strings).to_dense()
+    got32 = got.astype(np.float32)
+    assert np.array_equal(
+        got32.view(np.int32), expected.view(np.int32)
+    ), "f32 TF-IDF values differ bitwise from sklearn"
+    # The stored float64 values must be exactly the f32 values (no hidden
+    # extra precision feeding the scorer).
+    np.testing.assert_array_equal(got, got32.astype(np.float64))
+
+
+def test_float32_pairwise_similarities_match_f32_reference():
+    """compute_pairwise_similarities under f32 equals the f32-rounded
+    reference computation on the customers fixture."""
+    import string_grouper_tpu as sgt
+
+    s1 = pd.Series(CORPORA["customers"])
+    s2 = pd.Series(list(reversed(CORPORA["customers"])))
+    config = StringGrouperConfig(tfidf_matrix_dtype=np.float32)
+    vec = TfidfVectorizer(
+        min_df=1,
+        analyzer=lambda s: reference_ngrams(s, config),
+        dtype=np.float32,
+    )
+    both = vec.fit_transform(list(s1) + list(s2))
+    a, b = both[: len(s1)].toarray(), both[len(s1):].toarray()
+    expected = (
+        (a.astype(np.float64) * b.astype(np.float64)).sum(axis=1)
+    ).astype(np.float32)
+    got = sgt.compute_pairwise_similarities(
+        s1, s2, tfidf_matrix_dtype=np.float32
+    )
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got.to_numpy(), expected)

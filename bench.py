@@ -123,7 +123,12 @@ def main() -> None:
         t0 = time.perf_counter()
         out = sg.get_groups() if task == "group" else sg.get_matches()
         phases.clear()
-        phases.update({k: round(v, 3) for k, v in sg.timings.seconds.items()})
+        phases.update(
+            {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in sg.timings.seconds.items()
+            }
+        )
         phases["get_" + ("groups" if task == "group" else "matches")] = round(
             time.perf_counter() - t0, 3
         )
@@ -154,14 +159,19 @@ def main() -> None:
             )
             del warm
 
-    # Host/VM timing variance on this setup is large (+-50% run to run);
-    # report the median of three timed runs.
-    walls = []
-    for _ in range(3):
+    # Host/VM timing variance on this setup is large (+-50% run to run,
+    # "memory weather"); report the median of five timed runs, with the
+    # per-phase breakdown of the median run.
+    n_runs = int(os.environ.get("BENCH_RUNS", "5"))
+    walls, run_phases = [], []
+    for _ in range(n_runs):
         t0 = time.perf_counter()
         result = run()
         walls.append(time.perf_counter() - t0)
-    wall = sorted(walls)[1]
+        run_phases.append(dict(phases))
+    order = int(np.argsort(walls)[len(walls) // 2])
+    wall = walls[order]
+    phases = run_phases[order]
 
     print(
         json.dumps(

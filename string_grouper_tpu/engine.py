@@ -233,6 +233,12 @@ class StringGrouper:
                     left_chunk=self._config.left_chunk,
                     right_tile=self._config.right_tile,
                 )
+        from .ops.matcher import LAST_STATS
+
+        for k, v in LAST_STATS.items():
+            self.timings.seconds[f"match.{k}"] = (
+                round(v, 3) if isinstance(v, float) else v
+            )
         self._true_max_n_matches = pairs.true_max_n_matches
         with self.timings.phase("assemble"):
             self._matches_list = pd.DataFrame(

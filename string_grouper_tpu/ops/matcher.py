@@ -55,6 +55,11 @@ import logging
 
 logger = logging.getLogger("string_grouper_tpu")
 
+#: wall-time / volume breakdown of the most recent adaptive_topn call
+#: (filled in place; surfaced as ``StringGrouper.timings`` sub-phases and in
+#: bench.py's phases_s output for per-round perf accounting)
+LAST_STATS: dict = {}
+
 # Relative slack applied to the phase-1 upper-bound threshold to absorb
 # reduced-precision arithmetic (bf16 matmul inputs, uint16 value
 # quantization).  Quantization inflates the bound (safe); bf16 rounding can
@@ -631,10 +636,18 @@ def adaptive_topn(
     inflates the corpus-wide download or forces a second full pass.
     Without it (distributed path), the widths grow globally.
     """
+    import time as _time
+
     n_left = left.n_rows
     max_n_eff = min(max_n, right.n_rows)
     qual_low = min_similarity if min_similarity > 0 else 0.0
     c, kt = c0, kt0
+    LAST_STATS.clear()
+    stats = LAST_STATS
+    stats.update(
+        p1_wait=0.0, rescore=0.0, select=0.0, esc_wait=0.0,
+        rounds=0, pairs_scored=0,
+    )
 
     def collect(c, kt):
         logger.debug("phase1: C=%d k_tile=%d", c, kt)
@@ -644,10 +657,18 @@ def adaptive_topn(
         max_cnt = 0
         # Stream segments: exact fp64 scoring of each segment overlaps the
         # device matching of the next.
-        for r_g, cl_g, base, m_g, bound_g, counts_g, mc_g in phase1_run(
-            effective_threshold(min_similarity), c, kt
-        ):
+        stream = iter(phase1_run(effective_threshold(min_similarity), c, kt))
+        while True:
+            t0 = _time.perf_counter()
+            item = next(stream, None)
+            stats["p1_wait"] += _time.perf_counter() - t0
+            if item is None:
+                break
+            r_g, cl_g, base, m_g, bound_g, counts_g, mc_g = item
+            t0 = _time.perf_counter()
             sims_g = rescore_pairs_fp64(left, right, r_g, cl_g)
+            stats["rescore"] += _time.perf_counter() - t0
+            stats["pairs_scored"] += len(r_g)
             rows_parts.append(r_g)
             cols_parts.append(cl_g)
             sims_parts.append(sims_g)
@@ -689,9 +710,11 @@ def adaptive_topn(
         )
 
     rows_f, cols_f, sims, counts, bound, max_cnt = collect(c, kt)
+    t0 = _time.perf_counter()
     rows_s, cols_s, sims_s, kept_q, row_cut = _select_topn(
         rows_f, cols_f, sims, n_left, min_similarity, max_n_eff
     )
+    stats["select"] += _time.perf_counter() - t0
     del rows_f, cols_f, sims
     escalations = 0
     last_round = None  # (kt_big, c_full, n_unsafe) of the previous round
@@ -757,18 +780,26 @@ def adaptive_topn(
             "escalate %d rows to C=%d k_tile=%d (round %d)",
             len(idx), c_big, kt_big, escalations,
         )
+        t0 = _time.perf_counter()
         rows_pos, sub_cols_f, sub_bound = phase1_run_rows(
             idx, effective_threshold(min_similarity), c_big, kt_big,
             budget_hint=int(counts[idx].sum()),
         )
+        stats["esc_wait"] += _time.perf_counter() - t0
+        stats["rounds"] = escalations
         sub_rows = idx.astype(np.int64)[rows_pos]
+        t0 = _time.perf_counter()
         sub_sims = rescore_pairs_fp64(left, right, sub_rows, sub_cols_f)
+        stats["rescore"] += _time.perf_counter() - t0
+        stats["pairs_scored"] += len(sub_rows)
         # Incremental re-selection: top-n is independent per row, so only
         # the escalated rows' selections change (the re-run returns a
         # superset of their previous candidates).
+        t0 = _time.perf_counter()
         r2, c2, s2, kq2, rc2 = _select_topn(
             sub_rows, sub_cols_f, sub_sims, n_left, min_similarity, max_n_eff
         )
+        stats["select"] += _time.perf_counter() - t0
         in_idx = np.zeros(n_left, dtype=bool)
         in_idx[idx] = True
         keep_sel = ~in_idx[rows_s]

@@ -173,26 +173,65 @@ def main() -> None:
     wall = walls[order]
     phases = run_phases[order]
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(wall, 3),
-                "unit": "s",
-                "vs_baseline": round(BASELINE_S / wall, 3),
-                "n_strings": n,
-                "n_output_rows": int(len(result)),
-                "runs_s": [round(w, 3) for w in walls],
-                "baseline_s": BASELINE_S,
-                # BASELINE.json primary metric: naive-equivalent pair
-                # comparisons per second per chip (n^2 candidates for the
-                # self-join; the reference hit ~1.3e9/s on 4 CPU threads).
-                "comparisons_per_s_per_chip": round(float(n) * n / wall),
-                "phases_s": dict(phases),
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    out = {
+        "metric": metric,
+        "value": round(wall, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / wall, 3),
+        "n_strings": n,
+        "n_output_rows": int(len(result)),
+        "runs_s": [round(w, 3) for w in walls],
+        "baseline_s": BASELINE_S,
+        # BASELINE.json primary metric: naive-equivalent pair
+        # comparisons per second per chip (n^2 candidates for the
+        # self-join; the reference hit ~1.3e9/s on 4 CPU threads).
+        "comparisons_per_s_per_chip": round(float(n) * n / wall),
+        "phases_s": dict(phases),
+        "device": str(jax.devices()[0]),
+    }
+
+    if not os.environ.get("BENCH_SKIP_PATH_CHECK"):
+        out.update(path_identity_check(int(os.environ.get("BENCH_CHECK_N", "32768"))))
+
+    print(json.dumps(out))
+
+
+def path_identity_check(n: int) -> dict:
+    """Run one corpus through the three execution paths on the real device
+    -- fused Pallas kernel, plain-XLA kernel, and the shard_map mesh path --
+    and verify all three produce the identical output frame (recorded
+    artifact for VERDICT r1 items 6/10)."""
+    import pandas as pd  # noqa: F811 (re-import for clarity)
+
+    from string_grouper_tpu import StringGrouper
+    from string_grouper_tpu.parallel import make_mesh
+
+    series = synthetic_company_names(n, seed=7)
+    res: dict = {}
+    frames = {}
+    for label, env, mesh in (
+        ("fused", "1", None),
+        ("xla", "0", None),
+        ("mesh", "1", make_mesh(1)),
+    ):
+        os.environ["SG_TPU_FUSED"] = env
+        t0 = time.perf_counter()
+        sg = StringGrouper(series, min_similarity=0.8, mesh=mesh).fit()
+        frames[label] = sg.get_matches()
+        res[f"path_{label}_s"] = round(time.perf_counter() - t0, 3)
+    os.environ.pop("SG_TPU_FUSED", None)
+    try:
+        pd.testing.assert_frame_equal(frames["fused"], frames["xla"])
+        res["fused_equals_xla"] = True
+    except AssertionError:
+        res["fused_equals_xla"] = False
+    try:
+        pd.testing.assert_frame_equal(frames["mesh"], frames["xla"])
+        res["mesh_equals_single"] = True
+    except AssertionError:
+        res["mesh_equals_single"] = False
+    res["path_check_n"] = n
+    return res
 
 
 if __name__ == "__main__":

@@ -25,9 +25,10 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 
-from ..config import StringGrouperConfig
+from ..config import DEFAULT_REGEX, StringGrouperConfig
+from ..native import get_scorer_lib
 from .ngrams import extract_packed_keys, extract_windows, windows_as_sortable_keys
-from .preprocess import clean_corpus
+from .preprocess import _DEFAULT_STRIP_BYTES, clean_corpus
 
 
 @dataclass(frozen=True)
@@ -79,6 +80,59 @@ class EllMatrix:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+_EMPTY_VOCAB_MSG = (
+    "empty vocabulary; perhaps the documents only contain stop "
+    "characters or are shorter than the n-gram size"
+)
+
+# The native per-row insertion buffers are sized for strings up to this many
+# characters; longer rows route to the numpy path.
+_NATIVE_MAX_ROW = 4096
+
+
+def _native_luts(config: StringGrouperConfig):
+    """(keep, map) byte LUTs of the default-regex ASCII cleanup."""
+    keep = np.ones(256, dtype=np.uint8)
+    keep[list(_DEFAULT_STRIP_BYTES)] = 0
+    lut = np.arange(256, dtype=np.uint8)
+    if config.ignore_case:
+        upper = np.arange(65, 91)
+        lut[upper] = upper + 32
+    return keep, lut
+
+
+def _native_raw(strings) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Raw ASCII byte buffer + row offsets, or None when ineligible."""
+    joined = "".join(strings)
+    if not joined.isascii():
+        return None
+    lengths = np.fromiter(
+        (len(s) for s in strings), dtype=np.int64, count=len(strings)
+    )
+    if len(lengths) and int(lengths.max()) > _NATIVE_MAX_ROW:
+        return None
+    raw = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+    roff = np.concatenate(([0], np.cumsum(lengths)))
+    return raw, roff
+
+
+def _native_eligible(config: StringGrouperConfig):
+    """The native encoder covers the default-regex, float64, ngram<=3 ASCII
+    case -- i.e. the reference's default configuration (reference
+    string_grouper.py:17-19).  Everything else uses the numpy path, which is
+    also the bitwise oracle (tests/test_native_encode.py)."""
+    if config.regex != DEFAULT_REGEX:
+        return None
+    if config.tfidf_matrix_dtype == np.float32:
+        return None
+    if not (1 <= config.ngram_size <= 3):
+        return None
+    lib = get_scorer_lib()
+    if lib is None or not hasattr(lib, "encode_fit_phase1"):
+        return None
+    return lib
 
 
 def _ell_from_unique_pairs(
@@ -160,7 +214,66 @@ class TfidfEncoder:
             None,
         )
 
+    def _native_fit_transform(self, strings: list) -> Optional[EllMatrix]:
+        lib = _native_eligible(self.config)
+        if lib is None:
+            return None
+        rr = _native_raw(strings)
+        if rr is None:
+            return None
+        raw, roff = rr
+        keep, lut = _native_luts(self.config)
+        n_rows = len(strings)
+        info = np.zeros(3, dtype=np.int64)
+        lib.encode_fit_phase1(
+            raw, roff, n_rows, keep, lut, self.config.ngram_size, info
+        )
+        vocab_n, max_w = int(info[0]), int(info[1])
+        if vocab_n == 0:
+            raise ValueError(_EMPTY_VOCAB_MSG)
+        keys32 = np.empty(vocab_n, dtype=np.uint32)
+        df = np.empty(vocab_n, dtype=np.int32)
+        lib.encode_get_vocab_df(keys32, df)
+        self.vocab_keys_ = keys32.astype(np.uint64)
+        self._packed_bits = 8
+        self.n_docs_ = n_rows
+        self.idf_ = np.log((1.0 + n_rows) / (1.0 + df)) + 1.0
+        return self._native_phase2(lib, n_rows, max_w, vocab_n)
+
+    def _native_transform(self, strings: list) -> Optional[EllMatrix]:
+        if self._packed_bits != 8:
+            return None
+        lib = _native_eligible(self.config)
+        if lib is None:
+            return None
+        rr = _native_raw(strings)
+        if rr is None:
+            return None
+        raw, roff = rr
+        keep, lut = _native_luts(self.config)
+        n_rows = len(strings)
+        keys32 = np.ascontiguousarray(self.vocab_keys_.astype(np.uint32))
+        info = np.zeros(3, dtype=np.int64)
+        lib.encode_transform_phase1(
+            raw, roff, n_rows, keep, lut, self.config.ngram_size,
+            keys32, len(keys32), info,
+        )
+        return self._native_phase2(lib, n_rows, int(info[1]), len(keys32))
+
+    def _native_phase2(
+        self, lib, n_rows: int, max_w: int, n_terms: int
+    ) -> EllMatrix:
+        width = max(8, _round_up(max_w, 8))
+        ids = np.empty((n_rows, width), dtype=np.int32)
+        vals = np.empty((n_rows, width), dtype=np.float64)
+        lib.encode_phase2(np.ascontiguousarray(self.idf_), width, ids, vals)
+        return EllMatrix(ids=ids, vals64=vals, n_terms=n_terms)
+
     def fit_transform(self, strings: Sequence[str]) -> EllMatrix:
+        strings = list(strings)
+        native = self._native_fit_transform(strings)
+        if native is not None:
+            return native
         corpus = clean_corpus(strings, self.config)
         keys, row_ids, n_rows, bits = self._corpus_keys(corpus, None)
         if len(keys) == 0:
@@ -203,6 +316,10 @@ class TfidfEncoder:
     def transform(self, strings: Sequence[str]) -> EllMatrix:
         if self.vocab_keys_ is None:
             raise RuntimeError("TfidfEncoder.transform called before fit")
+        strings = list(strings)
+        native = self._native_transform(strings)
+        if native is not None:
+            return native
         corpus = clean_corpus(strings, self.config)
         if self._packed_bits is not None:
             keys, row_ids, _, _ = self._corpus_keys(corpus, self._packed_bits)

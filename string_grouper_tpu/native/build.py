@@ -48,12 +48,21 @@ def _cache_dir() -> Optional[Path]:
     return p
 
 
+_CXXFLAGS = [
+    # -ffp-contract=off: no FMA contraction -- the exact scorer and encoder
+    # must round identically to numpy (multiply THEN add), bit for bit.
+    "-O3", "-march=native", "-ffp-contract=off", "-fopenmp",
+    "-shared", "-fPIC",
+]
+
+
 def _build() -> Optional[Path]:
     src = _SRC.read_bytes()
-    # Key by source AND host CPU: -march=native output run on a different
-    # microarchitecture (shared home dirs) would SIGILL.
+    # Key by source AND host CPU AND flags: -march=native output run on a
+    # different microarchitecture (shared home dirs) would SIGILL.
     host = f"{platform.machine()}:{platform.processor()}".encode()
-    tag = hashlib.sha256(src + b"\0" + host).hexdigest()[:16]
+    key = src + b"\0" + host + b"\0" + " ".join(_CXXFLAGS).encode()
+    tag = hashlib.sha256(key).hexdigest()[:16]
     cache = _cache_dir()
     if cache is None:
         return None
@@ -63,11 +72,7 @@ def _build() -> Optional[Path]:
             return None
         return out
     tmp = out.with_suffix(f".so.tmp.{os.getpid()}")
-    cmd = [
-        os.environ.get("CXX", "g++"),
-        "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        str(_SRC), "-o", str(tmp),
-    ]
+    cmd = [os.environ.get("CXX", "g++"), *_CXXFLAGS, str(_SRC), "-o", str(tmp)]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, timeout=120
@@ -110,5 +115,17 @@ def get_scorer_lib() -> Optional[ctypes.CDLL]:
     p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
     lib.hash_project_bf16.restype = None
     lib.hash_project_bf16.argtypes = [p_i32, p_f32, i64, i64, i64, p_u16]
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.encode_fit_phase1.restype = None
+    lib.encode_fit_phase1.argtypes = [p_u8, p_i64, i64, p_u8, p_u8, i64, p_i64]
+    lib.encode_transform_phase1.restype = None
+    lib.encode_transform_phase1.argtypes = [
+        p_u8, p_i64, i64, p_u8, p_u8, i64, p_u32, i64, p_i64,
+    ]
+    lib.encode_get_vocab_df.restype = None
+    lib.encode_get_vocab_df.argtypes = [p_u32, p_i32]
+    lib.encode_phase2.restype = None
+    lib.encode_phase2.argtypes = [p_f64, i64, p_i32, p_f64]
     _lib = lib
     return _lib

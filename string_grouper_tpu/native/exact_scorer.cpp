@@ -123,3 +123,241 @@ void row_dot_f64(
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Native TF-IDF encoder: the ASCII + char-class-regex + ngram<=3 fast path of
+// corpus/tfidf.py (sklearn TfidfVectorizer semantics, reference
+// string_grouper.py:305-308,:685-707).  The numpy implementation remains the
+// general path and the bitwise oracle (tests/test_native_encode.py).
+//
+// Design: cleaned bytes pack each n-gram window into a <=24-bit key, so the
+// vocabulary builds by direct-address presence table -- no sorts, no hash
+// maps.  Per-row unique(term)+tf by local insertion (rows are short).  All
+// scratch lives in grow-only process buffers: repeated fits touch no new
+// pages, which matters on this VM where first-touch faults can run at
+// 5-40 MB/s (docs/performance.md).
+//
+// Call sequence (caller holds the GIL throughout, so no locking):
+//   encode_fit_phase1 / encode_transform_phase1  -> [vocab, width, nnz]
+//   encode_get_vocab_df (fit only)
+//   encode_phase2(idf)                            -> ELL ids/vals64
+// ===========================================================================
+
+#include <atomic>
+#include <cmath>
+
+namespace {
+
+struct EncState {
+    std::vector<uint8_t>  clean;   // cleaned bytes, rows concatenated
+    std::vector<int64_t>  coff;    // cleaned row offsets (n_rows + 1)
+    std::vector<int32_t>  table;   // key -> vocab id (1 << (8 * ngram))
+    std::vector<int32_t>  wid;     // per-row unique vocab ids (at coff[r])
+    std::vector<int32_t>  wtf;     // matching tf counts
+    std::vector<int32_t>  ucnt;    // per-row unique count
+    std::vector<uint32_t> vocab;   // vocab keys, ascending
+    std::vector<int32_t>  df;      // per-term document frequency (fit)
+    int64_t n_rows = 0;
+};
+
+EncState g_enc;
+
+// Clean raw bytes through keep/map LUTs into g_enc.clean/coff.
+void clean_rows(const uint8_t* raw, const int64_t* roff, int64_t n_rows,
+                const uint8_t* keep_lut, const uint8_t* map_lut)
+{
+    EncState& S = g_enc;
+    S.n_rows = n_rows;
+    S.coff.resize(n_rows + 1);
+    S.coff[0] = 0;
+    std::vector<int64_t> kept(n_rows);
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_rows; ++r) {
+        int64_t c = 0;
+        for (int64_t i = roff[r]; i < roff[r + 1]; ++i) c += keep_lut[raw[i]];
+        kept[r] = c;
+    }
+    for (int64_t r = 0; r < n_rows; ++r) S.coff[r + 1] = S.coff[r] + kept[r];
+    S.clean.resize(S.coff[n_rows]);
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_rows; ++r) {
+        uint8_t* o = S.clean.data() + S.coff[r];
+        for (int64_t i = roff[r]; i < roff[r + 1]; ++i) {
+            uint8_t b = raw[i];
+            if (keep_lut[b]) *o++ = map_lut[b];
+        }
+    }
+}
+
+// Shared phase-1 body after the vocab table is in place: per-row unique+tf
+// into the workspace; optional df accumulation.  Returns (max_width, nnz).
+// Unknown keys (table[key] < 0) are dropped -- transform's out-of-vocabulary
+// semantics; in fit mode every key is present by construction.
+std::pair<int64_t, int64_t> rows_unique_tf(int64_t ngram, bool count_df)
+{
+    EncState& S = g_enc;
+    const int64_t n_rows = S.n_rows;
+    S.wid.resize(S.clean.size() ? S.clean.size() : 1);
+    S.wtf.resize(S.wid.size());
+    S.ucnt.assign(n_rows, 0);
+    std::atomic<int32_t>* df =
+        count_df ? reinterpret_cast<std::atomic<int32_t>*>(S.df.data())
+                 : nullptr;
+    int64_t max_w = 0, nnz = 0;
+#pragma omp parallel reduction(max : max_w) reduction(+ : nnz)
+    {
+        // Local (id, tf) insertion buffers; rows are guarded to <= 4096
+        // chars by the Python caller, so windows fit.
+        std::vector<int32_t> lid(4096), ltf(4096);
+#pragma omp for schedule(dynamic, 1024)
+        for (int64_t r = 0; r < n_rows; ++r) {
+            const int64_t beg = S.coff[r], end = S.coff[r + 1];
+            const int64_t nwin = end - beg - ngram + 1;
+            int32_t u = 0;
+            for (int64_t p = 0; p < nwin; ++p) {
+                const uint8_t* c = S.clean.data() + beg + p;
+                uint32_t key = c[0];
+                for (int64_t j = 1; j < ngram; ++j) key = (key << 8) | c[j];
+                int32_t id = S.table[key];
+                if (id < 0) continue;  // OOV (transform)
+                // binary search in the sorted local prefix
+                int32_t lo = 0, hi = u;
+                while (lo < hi) {
+                    int32_t mid = (lo + hi) >> 1;
+                    if (lid[mid] < id) lo = mid + 1; else hi = mid;
+                }
+                if (lo < u && lid[lo] == id) {
+                    ltf[lo]++;
+                } else {
+                    for (int32_t k = u; k > lo; --k) {
+                        lid[k] = lid[k - 1]; ltf[k] = ltf[k - 1];
+                    }
+                    lid[lo] = id; ltf[lo] = 1; ++u;
+                }
+            }
+            int32_t* wi = S.wid.data() + beg;
+            int32_t* wt = S.wtf.data() + beg;
+            for (int32_t k = 0; k < u; ++k) {
+                wi[k] = lid[k]; wt[k] = ltf[k];
+                if (df) df[lid[k]].fetch_add(1, std::memory_order_relaxed);
+            }
+            S.ucnt[r] = u;
+            if (u > max_w) max_w = u;
+            nnz += u;
+        }
+    }
+    return {max_w, nnz};
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fit: clean + vocabulary build + per-row unique/tf + df.
+// out_info: [vocab_size, max_row_width, total_nnz].
+void encode_fit_phase1(
+    const uint8_t* raw, const int64_t* roff, int64_t n_rows,
+    const uint8_t* keep_lut, const uint8_t* map_lut,
+    int64_t ngram, int64_t* out_info)
+{
+    EncState& S = g_enc;
+    clean_rows(raw, roff, n_rows, keep_lut, map_lut);
+
+    const int64_t tbl = int64_t(1) << (8 * ngram);
+    const int64_t words = tbl >> 6;
+    std::vector<uint64_t> present(words, 0);
+#pragma omp parallel
+    {
+        std::vector<uint64_t> local(words, 0);
+#pragma omp for schedule(static)
+        for (int64_t r = 0; r < n_rows; ++r) {
+            const int64_t beg = S.coff[r];
+            const int64_t nwin = S.coff[r + 1] - beg - ngram + 1;
+            for (int64_t p = 0; p < nwin; ++p) {
+                const uint8_t* c = S.clean.data() + beg + p;
+                uint32_t key = c[0];
+                for (int64_t j = 1; j < ngram; ++j) key = (key << 8) | c[j];
+                local[key >> 6] |= uint64_t(1) << (key & 63);
+            }
+        }
+#pragma omp critical
+        for (int64_t w = 0; w < words; ++w) present[w] |= local[w];
+    }
+
+    S.table.assign(tbl, -1);
+    S.vocab.clear();
+    for (int64_t w = 0; w < words; ++w) {
+        uint64_t bits = present[w];
+        while (bits) {
+            int b = __builtin_ctzll(bits);
+            bits &= bits - 1;
+            uint32_t key = uint32_t((w << 6) + b);
+            S.table[key] = int32_t(S.vocab.size());
+            S.vocab.push_back(key);
+        }
+    }
+    S.df.assign(S.vocab.size(), 0);
+
+    auto [max_w, nnz] = rows_unique_tf(ngram, /*count_df=*/true);
+    out_info[0] = int64_t(S.vocab.size());
+    out_info[1] = max_w;
+    out_info[2] = nnz;
+}
+
+// Transform against a fixed vocabulary (corpus-reuse path).
+void encode_transform_phase1(
+    const uint8_t* raw, const int64_t* roff, int64_t n_rows,
+    const uint8_t* keep_lut, const uint8_t* map_lut,
+    int64_t ngram, const uint32_t* vocab, int64_t vocab_n, int64_t* out_info)
+{
+    EncState& S = g_enc;
+    clean_rows(raw, roff, n_rows, keep_lut, map_lut);
+    const int64_t tbl = int64_t(1) << (8 * ngram);
+    S.table.assign(tbl, -1);
+    S.vocab.assign(vocab, vocab + vocab_n);
+    for (int64_t i = 0; i < vocab_n; ++i) S.table[vocab[i]] = int32_t(i);
+    auto [max_w, nnz] = rows_unique_tf(ngram, /*count_df=*/false);
+    out_info[0] = vocab_n;
+    out_info[1] = max_w;
+    out_info[2] = nnz;
+}
+
+void encode_get_vocab_df(uint32_t* keys_out, int32_t* df_out)
+{
+    EncState& S = g_enc;
+    std::memcpy(keys_out, S.vocab.data(), S.vocab.size() * 4);
+    std::memcpy(df_out, S.df.data(), S.df.size() * 4);
+}
+
+// Fill the final ELL arrays: ids (int32, -1 padded) and L2-normalized
+// float64 tf-idf values.  Rounding order matches corpus/tfidf.py _encode
+// exactly: w = double(tf) * idf[t]; norm = sqrt(sum w*w in ascending-term
+// order); inv = 1.0 / norm; val = w * inv.
+void encode_phase2(
+    const double* idf, int64_t width, int32_t* out_ids, double* out_vals)
+{
+    EncState& S = g_enc;
+    const int64_t n_rows = S.n_rows;
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_rows; ++r) {
+        const int64_t beg = S.coff[r];
+        const int32_t u = S.ucnt[r];
+        int32_t* oi = out_ids + r * width;
+        double*  ov = out_vals + r * width;
+        double sumsq = 0.0;
+        for (int32_t k = 0; k < u; ++k) {
+            const double w = double(S.wtf[beg + k]) * idf[S.wid[beg + k]];
+            ov[k] = w;
+            sumsq += w * w;
+        }
+        const double norm = std::sqrt(sumsq);
+        const double inv = norm > 0.0 ? 1.0 / norm : 0.0;
+        for (int32_t k = 0; k < u; ++k) {
+            oi[k] = S.wid[beg + k];
+            ov[k] = ov[k] * inv;
+        }
+        for (int64_t k = u; k < width; ++k) { oi[k] = -1; ov[k] = 0.0; }
+    }
+}
+
+}  // extern "C"

@@ -81,6 +81,13 @@ _SHIP_BUDGET_ROWS = int(os.environ.get("SG_TPU_SHIP_BUDGET", "16"))
 _ROWS_COMPACT_MIN = 1 << 20
 
 
+def fused_enabled() -> bool:
+    """Whether the fused Pallas phase-1 kernel may be used (it is always
+    exact; ``SG_TPU_FUSED=0`` forces the plain-XLA path, e.g. for the
+    fused-vs-XLA identity check in bench.py)."""
+    return os.environ.get("SG_TPU_FUSED", "1") != "0"
+
+
 @dataclass
 class MatchPairs:
     """Long-format match list (positional indices), reference
@@ -458,7 +465,7 @@ def _phase1_single(
         compaction epilogue); the device queue drains while the consumer
         scores earlier segments."""
         thr = jnp.float32(thr_eff)
-        use_k = on_tpu and fused_tile_topk_supported(
+        use_k = on_tpu and fused_enabled() and fused_tile_topk_supported(
             chunk, tile, hash_dim, k_tile
         )
         # Ragged-prefix compaction: skip when thresholdless (every column
@@ -529,7 +536,7 @@ def _phase1_single(
             valid = (jnp.arange(m_p) < m)[:, None]
             a_sel = jnp.where(valid, a_sel, 0)
         a_sel = a_sel.reshape(-1, chunk, hash_dim)
-        use_k = on_tpu and fused_tile_topk_supported(
+        use_k = on_tpu and fused_enabled() and fused_tile_topk_supported(
             chunk, tile, hash_dim, k_tile
         )
         cols, ub_last, counts, max_cnt = _corpus_match(

@@ -1,0 +1,93 @@
+"""Bitwise parity of the native C++ TF-IDF encoder against the numpy path.
+
+The numpy implementation is the oracle (itself parity-tested against real
+sklearn in test_tfidf_parity.py); the native path must agree to the last
+bit on ids, values, vocabulary, and IDF."""
+
+import numpy as np
+import pytest
+
+from string_grouper_tpu.config import StringGrouperConfig
+from string_grouper_tpu.corpus import tfidf as T
+from string_grouper_tpu.corpus.tfidf import TfidfEncoder
+
+CORPORA = {
+    "company_names": [
+        "Mega Enterprises Corporation",
+        "Hyper Startup Incorporated",
+        "Hyper Startup Inc.",
+        "Hyper-Startup Inc.",
+        "Hyper Hyper Inc.",
+        "Mega Enterprises Corp.",
+    ],
+    "punct_and_repeats": [
+        "aaaaaa", "ab", "a,b./c", "   ", "zzz zzz zzz", "", "a-b-a-b-a",
+    ],
+    "short_rows": ["x", "xy", "xyz", "wxyz"],
+}
+
+
+def _numpy_encoder(kwargs=None):
+    enc = TfidfEncoder(StringGrouperConfig(**(kwargs or {})))
+    # Force the numpy path regardless of native availability.
+    enc._native_fit_transform = lambda strings: None
+    enc._native_transform = lambda strings: None
+    return enc
+
+
+def _native_available():
+    return T._native_eligible(StringGrouperConfig()) is not None
+
+
+pytestmark = pytest.mark.skipif(
+    not _native_available(), reason="native encoder unavailable (no compiler)"
+)
+
+
+@pytest.mark.parametrize("name", sorted(CORPORA))
+def test_fit_transform_bitwise(name):
+    strings = CORPORA[name]
+    nat = TfidfEncoder(StringGrouperConfig())
+    ref = _numpy_encoder()
+    e_nat = nat.fit_transform(strings)
+    e_ref = ref.fit_transform(strings)
+    np.testing.assert_array_equal(nat.vocab_keys_, ref.vocab_keys_)
+    np.testing.assert_array_equal(nat.idf_, ref.idf_)
+    assert e_nat.width == e_ref.width
+    np.testing.assert_array_equal(e_nat.ids, e_ref.ids)
+    np.testing.assert_array_equal(e_nat.vals64, e_ref.vals64)
+
+
+def test_transform_oov_bitwise():
+    corpus = CORPORA["company_names"]
+    new = ["Hyper Mega Inc.", "zzzzzz", "", "Corporation Enterprises"]
+    nat = TfidfEncoder(StringGrouperConfig()).fit(corpus)
+    ref = _numpy_encoder().fit(corpus)
+    e_nat = nat.transform(new)
+    e_ref = ref.transform(new)
+    np.testing.assert_array_equal(e_nat.ids, e_ref.ids)
+    np.testing.assert_array_equal(e_nat.vals64, e_ref.vals64)
+
+
+def test_case_sensitive_and_small_ngrams():
+    for kwargs in ({"ignore_case": False}, {"ngram_size": 2}, {"ngram_size": 1}):
+        nat = TfidfEncoder(StringGrouperConfig(**kwargs))
+        ref = _numpy_encoder(kwargs)
+        e_nat = nat.fit_transform(CORPORA["company_names"])
+        e_ref = ref.fit_transform(CORPORA["company_names"])
+        np.testing.assert_array_equal(nat.vocab_keys_, ref.vocab_keys_)
+        np.testing.assert_array_equal(e_nat.ids, e_ref.ids)
+        np.testing.assert_array_equal(e_nat.vals64, e_ref.vals64)
+
+
+def test_non_ascii_falls_back():
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell = enc.fit_transform(["Café Müller GmbH", "Cafe Muller GmbH"])
+    # NFKD fold means both rows encode identically.
+    np.testing.assert_array_equal(ell.ids[0], ell.ids[1])
+    np.testing.assert_array_equal(ell.vals64[0], ell.vals64[1])
+
+
+def test_empty_vocabulary_raises():
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        TfidfEncoder(StringGrouperConfig()).fit_transform([",,", "  ", "a"])

@@ -183,9 +183,23 @@ class StringGrouper:
         self.timings.reset()
         is_self = self._duplicates is None
         with self.timings.phase("encode"):
-            master_ell, dupes_ell = self._encoder.fit_transform_pair(
-                list(self._master), None if is_self else list(self._duplicates)
-            )
+            if self._config.mesh is not None:
+                # Mesh path: DF reduction runs as a psum over the mesh
+                # (parallel/distributed.py sharded_fit_transform); output is
+                # bitwise-identical to the host encoder.
+                from .parallel import sharded_fit_transform
+
+                master_ell, dupes_ell = sharded_fit_transform(
+                    self._encoder,
+                    list(self._master),
+                    None if is_self else list(self._duplicates),
+                    self._config.mesh,
+                )
+            else:
+                master_ell, dupes_ell = self._encoder.fit_transform_pair(
+                    list(self._master),
+                    None if is_self else list(self._duplicates),
+                )
         self._master_ell = master_ell
         self._dupes_ell = None if is_self else dupes_ell
 

@@ -6,6 +6,7 @@ from .distributed import (
     distributed_topn_cosine_matches,
     make_mesh,
     replicated_idf,
+    sharded_fit_transform,
 )
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "distributed_topn_cosine_matches",
     "make_mesh",
     "replicated_idf",
+    "sharded_fit_transform",
 ]

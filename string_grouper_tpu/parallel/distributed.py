@@ -65,6 +65,7 @@ __all__ = [
     "distributed_df_counts",
     "replicated_idf",
     "distributed_topn_cosine_matches",
+    "sharded_fit_transform",
 ]
 
 
@@ -96,6 +97,119 @@ def replicated_idf(df: jax.Array, n_docs: jax.Array) -> jax.Array:
     """Smooth IDF ``ln((1 + n) / (1 + df)) + 1`` (sklearn parity, reference
     string_grouper.py:699-707 via TfidfVectorizer)."""
     return jnp.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+
+
+def sharded_fit_transform(encoder, master: list, duplicates, mesh: Mesh):
+    """Fit the TF-IDF encoder over a mesh-sharded corpus and encode both
+    sides -- the distributed form of the vectorizer's DF pass (reference
+    string_grouper.py:699-707; SURVEY section 2.B N1).
+
+    The corpus splits into one contiguous shard per mesh device.  Each
+    shard tokenizes locally (host) and contributes a partial
+    document-frequency vector over the unioned vocabulary; the partials
+    reduce on device with ``psum`` over both mesh axes
+    (:func:`distributed_df_counts`) -- on a multi-host mesh this is the
+    only step that needs cross-host communication, and DF vectors (|vocab|
+    ints) are the only bytes on the wire.  The IDF then replicates, and
+    value computation stays local per shard.  Output is bitwise-identical
+    to :meth:`TfidfEncoder.fit_transform_pair` for any mesh shape
+    (tests/test_distributed.py).
+    """
+    from ..corpus.ngrams import extract_packed_keys, extract_windows, \
+        windows_as_sortable_keys
+    from ..corpus.preprocess import clean_corpus
+    from ..corpus.tfidf import EllMatrix, _unique_row_term_counts
+
+    if encoder.config.tfidf_matrix_dtype == np.float32:
+        # The f32 rounding chain (idf computed in f32 steps) lives in the
+        # host encoder; route through it for bit parity.
+        return encoder.fit_transform_pair(master, duplicates)
+
+    strings = list(master) + ([] if duplicates is None else list(duplicates))
+    n_docs = len(strings)
+    n_shards = int(mesh.devices.size)
+    per = -(-max(n_docs, 1) // n_shards)
+    shards = [strings[s * per : (s + 1) * per] for s in range(n_shards)]
+
+    # Local tokenize per shard (host); keys are order-preserving packed
+    # n-grams, so the unioned sorted key set IS the sklearn vocabulary.
+    # The packing width must be decided GLOBALLY (a shard-local choice
+    # would drop another shard's wider codepoints as out-of-vocabulary) --
+    # on a multi-host mesh this is one scalar pmax.
+    from ..corpus.ngrams import packed_key_bits
+
+    corpora = [clean_corpus(sh, encoder.config) for sh in shards]
+    maxcp = max((int(c.buf.max(initial=0)) for c in corpora), default=0)
+    bits0 = packed_key_bits(maxcp)
+    if bits0 * encoder.config.ngram_size > 64:
+        bits0 = None
+    shard_tok = []
+    for corpus in corpora:
+        if bits0 is not None:
+            keys, row_ids, n_rows, _ = extract_packed_keys(
+                corpus, encoder.config.ngram_size, bits0
+            )
+        else:
+            win = extract_windows(corpus, encoder.config.ngram_size)
+            keys, row_ids, n_rows = (
+                windows_as_sortable_keys(win.windows), win.row_ids, win.n_rows
+            )
+        shard_tok.append((keys, row_ids, n_rows))
+    vocab = np.unique(np.concatenate([np.unique(k) for k, _, _ in shard_tok
+                                      if len(k)]))
+    if len(vocab) == 0:
+        raise ValueError(
+            "empty vocabulary; perhaps the documents only contain stop "
+            "characters or are shorter than the n-gram size"
+        )
+    n_terms = len(vocab)
+
+    # Per-shard unique (doc, term) pairs -> partial DF; psum over the mesh.
+    shard_pairs = []
+    df_local = np.zeros((n_shards, n_terms), dtype=np.int32)
+    for s, (keys, row_ids, n_rows) in enumerate(shard_tok):
+        t_idx = np.searchsorted(vocab, keys)
+        rows, terms, tf = _unique_row_term_counts(row_ids, t_idx, n_terms)
+        shard_pairs.append((rows, terms, tf, n_rows))
+        df_local[s] = np.bincount(terms, minlength=n_terms)
+
+    dp, mp = mesh.devices.shape
+    df_dev = jax.device_put(
+        df_local.reshape(dp, mp, n_terms),
+        jax.sharding.NamedSharding(mesh, P("dp", "mp")),
+    )
+    df_global = jax.jit(
+        shard_map(
+            lambda d: jax.lax.psum(d, ("dp", "mp")),
+            mesh=mesh,
+            in_specs=P("dp", "mp"),
+            out_specs=P("dp", "mp"),
+        ),
+    )(df_dev)
+    df = np.asarray(df_global)[0, 0].astype(np.int64)
+
+    # IDF from the globally-reduced DF; value math identical to the host
+    # encoder (float64 path; the f32 rounding chain stays host-only).
+    encoder.vocab_keys_ = vocab
+    encoder._packed_bits = bits0
+    encoder.n_docs_ = n_docs
+    encoder.idf_ = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+
+    # Assemble the global ELL (shards are contiguous row ranges).
+    rows_g = np.concatenate([
+        p[0] + s * per for s, p in enumerate(shard_pairs)
+    ]) if shard_pairs else np.zeros(0, np.int64)
+    terms_g = np.concatenate([p[1] for p in shard_pairs])
+    tf_g = np.concatenate([p[2] for p in shard_pairs])
+    both = encoder._encode(rows_g, terms_g, tf_g, n_docs, n_terms)
+    if duplicates is None:
+        return both, both
+    n_m = len(master)
+    m = EllMatrix(ids=both.ids[:n_m], vals64=both.vals64[:n_m],
+                  n_terms=n_terms)
+    d = EllMatrix(ids=both.ids[n_m:], vals64=both.vals64[n_m:],
+                  n_terms=n_terms)
+    return m, d
 
 
 # ------------------------------------------------------------------- matching

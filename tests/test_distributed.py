@@ -176,3 +176,53 @@ class TestEngineMesh:
         ga = sgt.group_similar_strings(series, min_similarity=0.6)
         gb = sgt.group_similar_strings(series, min_similarity=0.6, mesh=mesh)
         pd.testing.assert_frame_equal(ga, gb)
+
+
+class TestShardedEncode:
+    @pytest.mark.parametrize("dp,mp", [(1, 8), (2, 4), (8, 1)])
+    def test_sharded_fit_transform_bitwise(self, dp, mp):
+        """The mesh-sharded encoder (DF psum over the mesh) is bitwise
+        identical to the host encoder for any mesh shape."""
+        from string_grouper_tpu.parallel import sharded_fit_transform
+
+        series = _synthetic_names(100, seed=9)
+        host = TfidfEncoder(StringGrouperConfig())
+        h_m, _ = host.fit_transform_pair(list(series), None)
+        mesh = make_mesh(dp * mp, dp=dp)
+        enc = TfidfEncoder(StringGrouperConfig())
+        s_m, s_d = sharded_fit_transform(enc, list(series), None, mesh)
+        assert s_d is s_m
+        np.testing.assert_array_equal(enc.vocab_keys_, host.vocab_keys_)
+        np.testing.assert_array_equal(enc.idf_, host.idf_)
+        np.testing.assert_array_equal(s_m.ids, h_m.ids)
+        np.testing.assert_array_equal(s_m.vals64, h_m.vals64)
+
+    def test_sharded_fit_transform_cross_join(self):
+        from string_grouper_tpu.parallel import sharded_fit_transform
+
+        master = _synthetic_names(37, seed=10)
+        dupes = _synthetic_names(21, seed=11)
+        host = TfidfEncoder(StringGrouperConfig())
+        h_m, h_d = host.fit_transform_pair(list(master), list(dupes))
+        mesh = make_mesh(8, dp=2)
+        enc = TfidfEncoder(StringGrouperConfig())
+        s_m, s_d = sharded_fit_transform(enc, list(master), list(dupes), mesh)
+        np.testing.assert_array_equal(s_m.ids, h_m.ids)
+        np.testing.assert_array_equal(s_m.vals64, h_m.vals64)
+        np.testing.assert_array_equal(s_d.ids, h_d.ids)
+        np.testing.assert_array_equal(s_d.vals64, h_d.vals64)
+
+    def test_sharded_unicode_width_is_global(self):
+        """A wide codepoint in ONE shard must widen the packing for all
+        shards (shard-local detection would drop it as OOV)."""
+        from string_grouper_tpu.parallel import sharded_fit_transform
+
+        strings = ["abc def"] * 9 + ["中文名字"] * 7
+        cfg = StringGrouperConfig(normalize_to_ascii=False)
+        host = TfidfEncoder(cfg)
+        h_m, _ = host.fit_transform_pair(list(strings), None)
+        enc = TfidfEncoder(cfg)
+        s_m, _ = sharded_fit_transform(enc, list(strings), None, make_mesh(8))
+        np.testing.assert_array_equal(enc.vocab_keys_, host.vocab_keys_)
+        np.testing.assert_array_equal(s_m.ids, h_m.ids)
+        np.testing.assert_array_equal(s_m.vals64, h_m.vals64)

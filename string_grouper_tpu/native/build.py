@@ -115,6 +115,19 @@ def get_scorer_lib() -> Optional[ctypes.CDLL]:
     p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
     lib.hash_project_bf16.restype = None
     lib.hash_project_bf16.argtypes = [p_i32, p_f32, i64, i64, i64, p_u16]
+    lib.pack_hash_rows.restype = None
+    lib.pack_hash_rows.argtypes = [
+        p_i32, p_f64, i64, p_i32, i64, i64, i64, p_i32,
+    ]
+    f64 = ctypes.c_double
+    lib.select_topn_f64.restype = i64
+    lib.select_topn_f64.argtypes = [
+        p_i64, p_i64, p_f64, i64, i64, f64, i64, p_i64, p_i64, p_f64,
+    ]
+    lib.selfjoin_fixups_f64.restype = i64
+    lib.selfjoin_fixups_f64.argtypes = [
+        p_i64, p_i64, p_f64, i64, i64, p_i64, p_i64, p_f64,
+    ]
     p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     lib.encode_fit_phase1.restype = None

@@ -12,8 +12,11 @@
 // Built as a shared library by native/build.py; loaded with ctypes
 // (no pybind11 dependency).
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -96,6 +99,38 @@ void score_pairs_f64(
     }
 }
 
+// Wire-format packing of ELL rows for the phase-1 upload
+// (ops/matcher.py pack_hash_inputs semantics): slot = (bucket << 16) | qval
+// with bucket the Knuth multiplicative hash of the term id into
+// [0, 2^log2_dim) and qval = ceil(value * 65535) clipped to uint16 (upward
+// quantization preserves the upper-bound property).  Rows are emitted in
+// ``order`` so the two-tier (narrow/wide) upload needs no host-side
+// fancy-index reorder of the 100s-of-MB ELL arrays -- numpy's version of
+// this pack was the single largest host cost at corpus scale.
+void pack_hash_rows(
+    const int32_t* ids, const double* vals, int64_t width,
+    const int32_t* order, int64_t n_order, int64_t out_width,
+    int64_t log2_dim, int32_t* out)
+{
+    const uint32_t shift = 32 - static_cast<uint32_t>(log2_dim);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_order; ++i) {
+        const int64_t r = order[i];
+        const int32_t* idr = ids + r * width;
+        const double* vr = vals + r * width;
+        int32_t* o = out + i * out_width;
+        for (int64_t k = 0; k < out_width; ++k) {
+            const int32_t t = idr[k];
+            if (t < 0) { o[k] = 0; continue; }
+            const uint32_t b = (static_cast<uint32_t>(t) * 2654435761u) >> shift;
+            double q = std::ceil(vr[k] * 65535.0);
+            if (q > 65535.0) q = 65535.0;
+            if (q < 0.0) q = 0.0;
+            o[k] = static_cast<int32_t>((b << 16) | static_cast<uint32_t>(q));
+        }
+    }
+}
+
 // Row-wise dot of two equal-length ELL matrices (reference dot(),
 // string_grouper.py:433-440).
 void row_dot_f64(
@@ -122,6 +157,137 @@ void row_dot_f64(
     }
 }
 
+// Per-row threshold + top-n selection over scored pairs (ops/matcher.py
+// _select_topn semantics): qualify = sim > 0 && sim >= min_sim; within a row
+// order by (sim desc, col asc); keep the first max_n; row_cut[r] = sim of the
+// max_n-th kept pair or -inf.  Emits *indices into the input arrays* ordered
+// (row asc, sim desc, col asc); returns the selected count.  kept_q gets the
+// per-row qualified count.  Replaces a 3-key numpy lexsort over every scored
+// pair -- rows are short, so per-row std::sort beats a global sort by >10x.
+int64_t select_topn_f64(
+    const int64_t* rows, const int64_t* cols, const double* sims,
+    int64_t n_pairs, int64_t n_left, double min_sim, int64_t max_n,
+    int64_t* out_idx, int64_t* kept_q, double* row_cut)
+{
+    std::vector<int64_t> offs(n_left + 1, 0);
+    for (int64_t r = 0; r < n_left; ++r) kept_q[r] = 0;
+    for (int64_t p = 0; p < n_pairs; ++p) {
+        const double s = sims[p];
+        if (s > 0.0 && s >= min_sim) kept_q[rows[p]]++;
+    }
+    for (int64_t r = 0; r < n_left; ++r) offs[r + 1] = offs[r] + kept_q[r];
+    std::vector<int64_t> bucket(offs[n_left]);
+    std::vector<int64_t> fill(n_left, 0);
+    for (int64_t p = 0; p < n_pairs; ++p) {
+        const double s = sims[p];
+        if (s > 0.0 && s >= min_sim) {
+            const int64_t r = rows[p];
+            bucket[offs[r] + fill[r]++] = p;
+        }
+    }
+    std::vector<int64_t> out_offs(n_left + 1, 0);
+    for (int64_t r = 0; r < n_left; ++r) {
+        const int64_t q = kept_q[r];
+        out_offs[r + 1] = out_offs[r] + (q < max_n ? q : max_n);
+    }
+#pragma omp parallel for schedule(dynamic, 4096)
+    for (int64_t r = 0; r < n_left; ++r) {
+        int64_t* b = bucket.data() + offs[r];
+        const int64_t q = kept_q[r];
+        const int64_t keep = q < max_n ? q : max_n;
+        auto cmp = [&](int64_t x, int64_t y) {
+            if (sims[x] != sims[y]) return sims[x] > sims[y];
+            return cols[x] < cols[y];
+        };
+        if (keep < q) {
+            std::partial_sort(b, b + keep, b + q, cmp);
+        } else {
+            std::sort(b, b + q, cmp);
+        }
+        row_cut[r] = (keep == max_n && keep > 0)
+                         ? sims[b[keep - 1]]
+                         : -std::numeric_limits<double>::infinity();
+        int64_t* o = out_idx + out_offs[r];
+        for (int64_t k = 0; k < keep; ++k) o[k] = b[k];
+    }
+    return out_offs[n_left];
+}
+
+// Self-join fix-ups (ops/matcher.py apply_self_join_fixups semantics,
+// reference string_grouper.py:419-427,:954-964): drop the diagonal, emit
+// each surviving pair in both directions (scores are symmetric bitwise --
+// the merge-scorer's accumulation order is direction-invariant), force an
+// exact-1.0 diagonal for every row, order (row asc, col asc).  Outputs must
+// be sized 2 * n_pairs + n; returns the final count.
+int64_t selfjoin_fixups_f64(
+    const int64_t* rows, const int64_t* cols, const double* sims,
+    int64_t n_pairs, int64_t n,
+    int64_t* out_rows, int64_t* out_cols, double* out_sims)
+{
+    std::vector<int64_t> cnt(n + 1, 0);
+    for (int64_t p = 0; p < n_pairs; ++p) {
+        if (rows[p] == cols[p]) continue;
+        cnt[rows[p] + 1]++;
+        cnt[cols[p] + 1]++;
+    }
+    for (int64_t r = 0; r < n; ++r) cnt[r + 1] += cnt[r] + 1;  // +1: diagonal
+    std::vector<int64_t> offs(cnt.begin(), cnt.end() - 1);
+    const int64_t total = cnt[n];
+    std::vector<int64_t> bcol(total);
+    std::vector<double> bsim(total);
+    for (int64_t r = 0; r < n; ++r) {  // diagonal first; dedupe keeps it
+        bcol[offs[r]] = r;
+        bsim[offs[r]] = 1.0;
+        offs[r]++;
+    }
+    for (int64_t p = 0; p < n_pairs; ++p) {
+        const int64_t r = rows[p], c = cols[p];
+        if (r == c) continue;
+        bcol[offs[r]] = c; bsim[offs[r]] = sims[p]; offs[r]++;
+        bcol[offs[c]] = r; bsim[offs[c]] = sims[p]; offs[c]++;
+    }
+    // Per-row: sort by col (stable on equal cols keeps the diagonal's 1.0
+    // first), dedupe adjacent.  Write counts, then compact serially.
+    std::vector<int64_t> ucnt(n);
+#pragma omp parallel
+    {
+        std::vector<int64_t> perm;
+        std::vector<int64_t> tc;
+        std::vector<double> ts;
+#pragma omp for schedule(dynamic, 4096)
+        for (int64_t r = 0; r < n; ++r) {
+            const int64_t beg = cnt[r], end = offs[r];
+            const int64_t m = end - beg;
+            perm.resize(m); tc.resize(m); ts.resize(m);
+            for (int64_t k = 0; k < m; ++k) perm[k] = k;
+            std::stable_sort(perm.begin(), perm.end(), [&](int64_t x, int64_t y) {
+                return bcol[beg + x] < bcol[beg + y];
+            });
+            int64_t u = 0;
+            for (int64_t k = 0; k < m; ++k) {
+                const int64_t c = bcol[beg + perm[k]];
+                if (u && tc[u - 1] == c) continue;  // duplicate direction
+                tc[u] = c; ts[u] = bsim[beg + perm[k]]; ++u;
+            }
+            for (int64_t k = 0; k < u; ++k) {
+                bcol[beg + k] = tc[k]; bsim[beg + k] = ts[k];
+            }
+            ucnt[r] = u;
+        }
+    }
+    int64_t w = 0;
+    for (int64_t r = 0; r < n; ++r) {
+        const int64_t beg = cnt[r];
+        for (int64_t k = 0; k < ucnt[r]; ++k) {
+            out_rows[w] = r;
+            out_cols[w] = bcol[beg + k];
+            out_sims[w] = bsim[beg + k];
+            ++w;
+        }
+    }
+    return w;
+}
+
 }  // extern "C"
 
 // ===========================================================================
@@ -144,7 +310,6 @@ void row_dot_f64(
 // ===========================================================================
 
 #include <atomic>
-#include <cmath>
 
 namespace {
 

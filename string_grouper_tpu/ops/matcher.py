@@ -82,10 +82,14 @@ _ROWS_COMPACT_MIN = 1 << 20
 
 
 def fused_enabled() -> bool:
-    """Whether the fused Pallas phase-1 kernel may be used (it is always
-    exact; ``SG_TPU_FUSED=0`` forces the plain-XLA path, e.g. for the
-    fused-vs-XLA identity check in bench.py)."""
-    return os.environ.get("SG_TPU_FUSED", "1") != "0"
+    """Whether the fused Pallas phase-1 kernel is used (it is always exact
+    and bit-identical to the XLA path -- bench.py's path-identity check
+    proves that on the real device every round).  Measured at 663k on v5e,
+    the XLA path is faster (9.3 s vs 13.1 s steady-state: XLA's fusion of
+    the matmul + extraction pipeline beats the hand-written kernel's
+    in-place masked extraction loop), so the kernel is opt-in via
+    ``SG_TPU_FUSED=1``."""
+    return os.environ.get("SG_TPU_FUSED", "0") == "1"
 
 
 @dataclass
@@ -148,7 +152,10 @@ def pack_hash_inputs(ell: EllMatrix, n_pad: int, dim: int) -> jax.Array:
     """
     if dim > (1 << 15):
         raise ValueError("hash_dim must be <= 32768")
-    packed = _pack_rows(ell.ids, ell.vals64, dim)
+    packed = _pack_rows_ordered(
+        ell.ids, ell.vals64,
+        np.arange(ell.n_rows, dtype=np.int32), ell.width, dim,
+    )
     if n_pad > ell.n_rows:
         packed = np.pad(packed, ((0, n_pad - ell.n_rows), (0, 0)))
     return jnp.asarray(packed)
@@ -159,6 +166,37 @@ def _pack_rows(ids: np.ndarray, vals64: np.ndarray, dim: int) -> np.ndarray:
     b = (u >> (32 - int(dim).bit_length() + 1)).astype(np.int64)
     q = np.ceil(vals64 * 65535.0).clip(0, 65535).astype(np.int64)
     return np.where(ids >= 0, (b << 16) | q, 0).astype(np.int32)
+
+
+def _pack_rows_ordered(
+    ids: np.ndarray,
+    vals64: np.ndarray,
+    order: np.ndarray,
+    out_width: int,
+    dim: int,
+) -> np.ndarray:
+    """``_pack_rows(ids[order][:, :out_width], ...)`` without materializing
+    the reordered ELL copies: the native kernel walks ``order`` directly.
+    The numpy pack (several corpus-sized int64 temporaries) was the largest
+    single host cost at 663k rows; the native version is one pass."""
+    from ..native import get_scorer_lib
+
+    order = np.ascontiguousarray(order, dtype=np.int32)
+    lib = get_scorer_lib()
+    if lib is not None:
+        out = np.empty((len(order), out_width), dtype=np.int32)
+        lib.pack_hash_rows(
+            np.ascontiguousarray(ids),
+            np.ascontiguousarray(vals64),
+            ids.shape[1],
+            order,
+            len(order),
+            out_width,
+            int(dim).bit_length() - 1,
+            out,
+        )
+        return out
+    return _pack_rows(ids[order][:, :out_width], vals64[order][:, :out_width], dim)
 
 
 @partial(jax.jit, static_argnames=("dim", "row_tile"))
@@ -209,12 +247,14 @@ def build_hash_matrix(
     else:
         order = np.argsort(~narrow, kind="stable")
         k = int(narrow.sum())
-        ids_p = ell.ids[order]
-        vals_p = ell.vals64[order]
-        p_narrow = _pack_rows(ids_p[:k, :narrow_w], vals_p[:k, :narrow_w], dim)
+        p_narrow = _pack_rows_ordered(
+            ell.ids, ell.vals64, order[:k], narrow_w, dim
+        )
         parts = [_device_hash(p_narrow, dim)]
         if k < n:
-            p_wide = _pack_rows(ids_p[k:], vals_p[k:], dim)
+            p_wide = _pack_rows_ordered(
+                ell.ids, ell.vals64, order[k:], ell.width, dim
+            )
             parts.append(_device_hash(p_wide, dim))
         h_perm = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         inv = np.empty(n, dtype=np.int32)
@@ -596,7 +636,26 @@ def _select_topn(
 
     Returns (rows_s, cols_s, sims_s, kept_q, row_cut): selected pairs sorted
     (row asc, sim desc, col asc), per-row qualified counts, and the per-row
-    exact top-n cut (-inf when fewer than max_n qualified)."""
+    exact top-n cut (-inf when fewer than max_n qualified).
+
+    Native path: per-row bucket sort in C++ (exact_scorer.cpp
+    select_topn_f64); the numpy lexsort below is the fallback and oracle."""
+    from ..native import get_scorer_lib
+
+    lib = get_scorer_lib()
+    if lib is not None and len(rows_f):
+        rows_c = np.ascontiguousarray(rows_f, dtype=np.int64)
+        cols_c = np.ascontiguousarray(cols_f, dtype=np.int64)
+        sims_c = np.ascontiguousarray(sims, dtype=np.float64)
+        kept_q = np.empty(n_left, dtype=np.int64)
+        row_cut = np.empty(n_left, dtype=np.float64)
+        out_idx = np.empty(len(rows_c), dtype=np.int64)
+        n_sel = lib.select_topn_f64(
+            rows_c, cols_c, sims_c, len(rows_c), n_left,
+            float(min_similarity), int(max_n), out_idx, kept_q, row_cut,
+        )
+        sel = out_idx[:n_sel]
+        return rows_c[sel], cols_c[sel], sims_c[sel], kept_q, row_cut
     qualify = (sims > 0) & (sims >= min_similarity)
     rows_q, cols_q, sims_q = rows_f[qualify], cols_f[qualify], sims[qualify]
     kept_q = np.bincount(rows_q, minlength=n_left)
@@ -828,7 +887,30 @@ def adaptive_topn(
 # ------------------------------------------------------------- post-fix-ups
 def apply_self_join_fixups(pairs: MatchPairs, n: int) -> MatchPairs:
     """Exact-1 diagonal + symmetric closure for self-joins
-    (reference string_grouper.py:419-427, :954-964)."""
+    (reference string_grouper.py:419-427, :954-964).
+
+    Native path: per-row bucket symmetrize/dedupe in C++
+    (exact_scorer.cpp selfjoin_fixups_f64); numpy below is the oracle."""
+    from ..native import get_scorer_lib
+
+    lib = get_scorer_lib()
+    if lib is not None:
+        rows_c = np.ascontiguousarray(pairs.rows, dtype=np.int64)
+        cols_c = np.ascontiguousarray(pairs.cols, dtype=np.int64)
+        sims_c = np.ascontiguousarray(pairs.sims, dtype=np.float64)
+        cap = 2 * len(rows_c) + n
+        out_r = np.empty(cap, dtype=np.int64)
+        out_c = np.empty(cap, dtype=np.int64)
+        out_s = np.empty(cap, dtype=np.float64)
+        cnt = lib.selfjoin_fixups_f64(
+            rows_c, cols_c, sims_c, len(rows_c), n, out_r, out_c, out_s
+        )
+        return MatchPairs(
+            rows=out_r[:cnt].copy(),
+            cols=out_c[:cnt].copy(),
+            sims=out_s[:cnt].copy(),
+            true_max_n_matches=pairs.true_max_n_matches,
+        )
     rows, cols, sims = pairs.rows, pairs.cols, pairs.sims
     off = rows != cols
     rows, cols, sims = rows[off], cols[off], sims[off]
@@ -860,6 +942,29 @@ def order_like_reference_csr(pairs: MatchPairs) -> MatchPairs:
     """Order pairs the way the reference's value-sorted CSR storage lists
     them: row-major, similarity descending within row, column ascending on
     ties (sp_matmul_topn ``sort=True``)."""
+    from ..native import get_scorer_lib
+
+    lib = get_scorer_lib()
+    if lib is not None and len(pairs.rows):
+        # select_topn_f64 with no threshold/limit IS this sort (all pairs
+        # carry sims > 0; zero-sim completion happens later, in the engine).
+        rows_c = np.ascontiguousarray(pairs.rows, dtype=np.int64)
+        cols_c = np.ascontiguousarray(pairs.cols, dtype=np.int64)
+        sims_c = np.ascontiguousarray(pairs.sims, dtype=np.float64)
+        n_left = int(rows_c.max()) + 1
+        kept_q = np.empty(n_left, dtype=np.int64)
+        row_cut = np.empty(n_left, dtype=np.float64)
+        out_idx = np.empty(len(rows_c), dtype=np.int64)
+        n_sel = lib.select_topn_f64(
+            rows_c, cols_c, sims_c, len(rows_c), n_left,
+            0.0, len(rows_c), out_idx, kept_q, row_cut,
+        )
+        if n_sel == len(rows_c):  # nothing filtered: pure reorder
+            sel = out_idx
+            return MatchPairs(
+                rows=rows_c[sel], cols=cols_c[sel], sims=sims_c[sel],
+                true_max_n_matches=pairs.true_max_n_matches,
+            )
     order = np.lexsort((pairs.cols, -pairs.sims, pairs.rows))
     return MatchPairs(
         rows=pairs.rows[order],

@@ -3,9 +3,13 @@
 ``fused_tile_topk`` fuses the per-tile body of the upper-bound scan
 (ops/matcher.py ``_ub_topk_scan``) into one kernel: the bf16 MXU matmul,
 thresholding, qualified-count reduction, and iterated top-k extraction all
-happen while the score block stays in VMEM -- the XLA path round-trips the
-(m, tile) score matrix through HBM between the matmul and each extraction
-pass, which dominates phase-1 time at corpus scale.
+happen while the score block stays in VMEM.  Measured on v5e at 663k rows
+it is SLOWER than the plain-XLA tile body (13.1 s vs 9.3 s steady state):
+XLA fuses the matmul epilogue well on its own, and this kernel's in-place
+masked extraction serializes VPU passes that XLA overlaps.  It is kept as
+an opt-in (``SG_TPU_FUSED=1``) exactness cross-check -- bench.py's
+path-identity check runs it against the XLA path on the real device every
+round -- and as the scaffold for future extraction-scheme experiments.
 
 Layout: grid (m/BM, tile/BN); the output blocks are indexed by the row
 block only, so they are revisited across the BN steps and act as the

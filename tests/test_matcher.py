@@ -6,6 +6,8 @@ reference's semantics: threshold, per-row top-n, self-join diagonal fix and
 symmetrization (reference string_grouper.py:380-431).
 """
 
+import re
+
 import numpy as np
 import pytest
 
@@ -196,12 +198,16 @@ class TestHotRowHandling:
 
     def test_safe_drop_no_escalation(self, caplog):
         """max_n=1 with a moderate-similarity cluster: every row's top-1 cut
-        is the exact ~1.0 self match while all dropped candidates carry
-        upper bounds well below it (sims ~0.85-0.93), so the drops are
-        proven irrelevant -- exact results, no escalation.  (Dropped bounds
-        NEAR the cut must escalate instead: an exact-tied clone can round to
-        the same fp64 value as the cut and win the column tie-break; see
-        unsafe_rows in ops/matcher.py.)"""
+        is the exact ~1.0 self match while dropped candidates carry upper
+        bounds below it, so the drop-bound logic proves almost every drop
+        irrelevant -- exact results with (nearly) no escalation.  Under the
+        kt=2 closed-form extraction the per-tile drop bound is the SECOND
+        largest qualified value, so the handful of rows whose second-best
+        upper bound sits within the 1%% UB slack of their ~1.0 cut must
+        escalate (correctly); the 91-row cluster must not escalate
+        wholesale.  (Dropped bounds NEAR the cut must escalate: an
+        exact-tied clone can round to the same fp64 value as the cut and
+        win the column tie-break; see unsafe_rows in ops/matcher.py.)"""
         import logging
 
         base = "hyper mega global quantum systems incorporated"
@@ -224,7 +230,8 @@ class TestHotRowHandling:
             (int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)
         }
         assert set(got_pairs) == set(expected)
-        assert "escalate" not in caplog.text
+        esc = re.findall(r"escalate (\d+) rows", caplog.text)
+        assert sum(int(x) for x in esc) <= 4, caplog.text
 
     def test_escalation_path(self, caplog):
         """~250 distinct variants with near-equal similarities: the

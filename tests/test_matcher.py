@@ -152,6 +152,29 @@ def test_tiling_invariance(left_chunk, right_tile, hash_dim):
     np.testing.assert_allclose(got.sims, base.sims, rtol=0, atol=0)
 
 
+def test_triangular_scan_identical_to_streamed(monkeypatch):
+    """The opt-in triangular self-join scan (SG_TPU_TRIANGULAR=1, see
+    matcher.triangular_enabled) must produce the identical pair set,
+    similarities, and ordering as the default streamed scan, across
+    several tilings (exercises multi-segment coverage, the future-buffer
+    merge, and the within-segment lower-triangle row pass)."""
+    strings = random_names(300, seed=11)
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+    for right_tile in (16, 64, 256):
+        monkeypatch.delenv("SG_TPU_TRIANGULAR", raising=False)
+        base = topn_cosine_matches(
+            ell, None, 0.5, 20, right_tile=right_tile, left_chunk=right_tile
+        )
+        monkeypatch.setenv("SG_TPU_TRIANGULAR", "1")
+        got = topn_cosine_matches(
+            ell, None, 0.5, 20, right_tile=right_tile, left_chunk=right_tile
+        )
+        np.testing.assert_array_equal(got.rows, base.rows)
+        np.testing.assert_array_equal(got.cols, base.cols)
+        np.testing.assert_allclose(got.sims, base.sims, rtol=0, atol=0)
+
+
 def test_diagonal_always_one_even_for_empty_strings():
     strings = ["...", "abc", "abc"]  # first row has no n-grams
     enc = TfidfEncoder(StringGrouperConfig())

@@ -128,6 +128,8 @@ def get_scorer_lib() -> Optional[ctypes.CDLL]:
     lib.selfjoin_fixups_f64.argtypes = [
         p_i64, p_i64, p_f64, i64, i64, p_i64, p_i64, p_f64,
     ]
+    lib.connected_components_i64.restype = None
+    lib.connected_components_i64.argtypes = [p_i64, p_i64, i64, i64, p_i64]
     p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     lib.encode_fit_phase1.restype = None

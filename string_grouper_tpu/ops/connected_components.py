@@ -56,9 +56,27 @@ def _cc_kernel(a: jax.Array, b: jax.Array, n: int) -> jax.Array:
 def connected_components(
     edges_a: np.ndarray, edges_b: np.ndarray, n: int
 ) -> np.ndarray:
-    """Component label per node; label == smallest node index in component."""
+    """Component label per node; label == smallest node index in component.
+
+    Host-resident edge lists route through the native union-find
+    (exact_scorer.cpp connected_components_i64, labels bit-identical to the
+    device kernel): the device's scatter-min rounds cost ~14 s at 663k
+    nodes / 9M edges where union-find takes ~0.2 s.  The device kernel
+    below remains the path for device-resident/sharded label propagation
+    and the oracle for the equivalence test."""
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    from ..native import get_scorer_lib
+
+    lib = get_scorer_lib()
+    if lib is not None:
+        labels = np.empty(n, dtype=np.int64)
+        lib.connected_components_i64(
+            np.ascontiguousarray(edges_a, dtype=np.int64),
+            np.ascontiguousarray(edges_b, dtype=np.int64),
+            len(edges_a), n, labels,
+        )
+        return labels
     e = len(edges_a)
     # Pad BOTH the edge list and the node count to powers of two so every
     # corpus size reuses one compiled kernel per pow2 bucket (XLA compiles

@@ -469,6 +469,49 @@ def _compact_cols(cols: jax.Array, budget: int):
     return flat, n_i
 
 
+@jax.jit
+def _pack20(flat: jax.Array) -> jax.Array:
+    """Bit-pack a column-id stream (values < 2^20; length a multiple of 8)
+    into 20-bit fields: 8 ids -> 5 uint32 words.  The host link runs at
+    ~10-30 MB/s on the tunneled dev setup, so shaving 12 of every 32 bits
+    off the candidate download is ~1 s at 663k."""
+    v = jnp.maximum(flat, 0).astype(jnp.uint32).reshape(-1, 8)
+    w0 = v[:, 0] | (v[:, 1] << 20)
+    w1 = (v[:, 1] >> 12) | (v[:, 2] << 8) | (v[:, 3] << 28)
+    w2 = (v[:, 3] >> 4) | (v[:, 4] << 16)
+    w3 = (v[:, 4] >> 16) | (v[:, 5] << 4) | (v[:, 6] << 24)
+    w4 = (v[:, 6] >> 8) | (v[:, 7] << 12)
+    return jnp.stack([w0, w1, w2, w3, w4], axis=1).reshape(-1)
+
+
+def _unpack20(words: np.ndarray, count: int) -> np.ndarray:
+    """Host inverse of ``_pack20``: 5 uint32 words -> 8 ids, int64."""
+    w = words.reshape(-1, 5)
+    m = np.uint32((1 << 20) - 1)
+    parts = [
+        w[:, 0] & m,
+        ((w[:, 0] >> 20) | (w[:, 1] << 12)) & m,
+        (w[:, 1] >> 8) & m,
+        ((w[:, 1] >> 28) | (w[:, 2] << 4)) & m,
+        ((w[:, 2] >> 16) | (w[:, 3] << 16)) & m,
+        (w[:, 3] >> 4) & m,
+        ((w[:, 3] >> 24) | (w[:, 4] << 8)) & m,
+        (w[:, 4] >> 12) & m,
+    ]
+    return np.stack(parts, axis=1).reshape(-1)[:count].astype(np.int64)
+
+
+def _download_cols(flat: jax.Array, total: int, n_right_p: int) -> np.ndarray:
+    """Download a compacted column stream, bit-packed when ids fit 20 bits
+    (columns are < the padded corpus size)."""
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    if n_right_p <= (1 << 20):
+        nw = -(-total // 8) * 5
+        return _unpack20(np.asarray(_pack20(flat)[:nw]), total)
+    return np.asarray(flat)[:total].astype(np.int64)
+
+
 @partial(jax.jit, static_argnames=("cand_c", "k_tile", "use_kernel"))
 def _corpus_match(
     a_hash_chunks: jax.Array,  # (n_chunks, chunk, d) bf16
@@ -816,7 +859,7 @@ def _phase1_single(
             n_i_h = np.asarray(n_i)
             total = int(n_i_h.sum())
             if total <= budget:
-                flat_h = np.asarray(flat)[:total].astype(np.int64)
+                flat_h = _download_cols(flat, total, n_pp)
                 rows_l = np.repeat(
                     np.arange(seg_rows_t, dtype=np.int64), n_i_h
                 )
@@ -880,7 +923,7 @@ def _phase1_single(
                 n_i_h = np.asarray(n_i)
                 total = int(n_i_h.sum())
                 if total <= budget:
-                    flat_h = np.asarray(flat)[:total].astype(np.int64)
+                    flat_h = _download_cols(flat, total, n_right_p)
                     rows_l = np.repeat(
                         np.arange(seg_rows, dtype=np.int64), n_i_h
                     )
@@ -941,7 +984,7 @@ def _phase1_single(
                 n_i_h = np.asarray(n_i)
                 total = int(n_i_h.sum())
                 if total <= budget:
-                    flat_h = np.asarray(flat)[:total].astype(np.int64)
+                    flat_h = _download_cols(flat, total, n_right_p)
                     rows_l = np.repeat(
                         np.arange(m_p, dtype=np.int64), n_i_h
                     )

@@ -152,6 +152,22 @@ def test_tiling_invariance(left_chunk, right_tile, hash_dim):
     np.testing.assert_allclose(got.sims, base.sims, rtol=0, atol=0)
 
 
+def test_pack20_roundtrip():
+    """The 20-bit download packing must be lossless for ids < 2^20."""
+    import jax.numpy as jnp
+
+    from string_grouper_tpu.ops.matcher import _pack20, _unpack20
+
+    rng = np.random.default_rng(5)
+    flat = rng.integers(0, 1 << 20, size=4096).astype(np.int32)
+    flat[3000:] = -1  # padding tail packs as zeros
+    words = np.asarray(_pack20(jnp.asarray(flat)))
+    for count in (0, 1, 7, 8, 9, 3000):
+        nw = -(-count // 8) * 5
+        got = _unpack20(words[:nw], count)
+        np.testing.assert_array_equal(got, flat[:count].astype(np.int64))
+
+
 def test_triangular_scan_identical_to_streamed(monkeypatch):
     """The opt-in triangular self-join scan (SG_TPU_TRIANGULAR=1, see
     matcher.triangular_enabled) must produce the identical pair set,

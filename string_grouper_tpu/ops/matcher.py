@@ -286,14 +286,15 @@ def _ub_topk_scan(
     hits are concatenated across tiles and, when wider than ``cand_c``,
     reduced with a single per-chunk top-k.
 
-    Returns (ub_vals (m, W), cols (m, W), counts (m,), max_tile_cnt,
+    Returns (ub_vals (m, W), cols (m, W), counts (m,), tile_max (m,),
     drop_bound (m,)): candidate upper-bound scores (desc; -inf = none),
     their column ids, the per-row count of threshold-qualified columns, the
-    maximum per-(row, tile) qualified count, and a per-row upper bound on
+    per-row maximum per-tile qualified count, and a per-row upper bound on
     every candidate that was DROPPED (by per-tile k_tile overflow or by the
     final top-C truncation; -inf when the row dropped nothing).  The host
     driver escalates exactly the rows whose drop bound could still affect
-    the exact result.
+    the exact result, at an extraction width ``tile_max`` proves sufficient
+    -- so escalation normally completes in a single round.
     """
     m = a_hash.shape[0]
     tile = b_hash_tiles.shape[1]
@@ -306,21 +307,21 @@ def _ub_topk_scan(
 
     def body(carry, xs):
         b_tile, off = xs
-        counts, max_cnt, tbound = carry
+        counts, tmax, tbound = carry
         if use_kernel:
             # Fused Pallas kernel: matmul + threshold + count + top-kt
             # extraction with the score block VMEM-resident.
             tv, tc, cnt = fused_tile_topk(a_hash, b_tile, thr_eff, kt)
             tc = tc + off
             counts = counts + cnt
-            max_cnt = jnp.maximum(max_cnt, cnt.max())
+            tmax = jnp.maximum(tmax, cnt)
             tbound = jnp.maximum(tbound, jnp.where(cnt > kt, tv[:, -1], neg))
-            return (counts, max_cnt, tbound), (tv, tc)
+            return (counts, tmax, tbound), (tv, tc)
         ub = jnp.dot(a_hash, b_tile.T, preferred_element_type=jnp.float32)
         ubm = jnp.where(ub >= thr_eff, ub, neg)
         cnt = (ubm > neg).sum(axis=1, dtype=jnp.int32)
         counts = counts + cnt
-        max_cnt = jnp.maximum(max_cnt, cnt.max())
+        tmax = jnp.maximum(tmax, cnt)
         if kt == 2:
             # Closed-form extraction: when a row has <= 2 qualified columns
             # in this tile (the overwhelmingly common case at the default
@@ -358,7 +359,7 @@ def _ub_topk_scan(
             tbound = jnp.maximum(
                 tbound, jnp.where(cnt > 2, vmax2, neg)
             )
-            return (counts, max_cnt, tbound), (tv, tc)
+            return (counts, tmax, tbound), (tv, tc)
         if kt <= 8:
             # Iterated max/argmax: a few cheap VPU passes, no sort.
             vs = []
@@ -380,10 +381,14 @@ def _ub_topk_scan(
         # Per-tile drop bound: anything not extracted from this tile is <=
         # the tile's smallest extracted value (only relevant on overflow).
         tbound = jnp.maximum(tbound, jnp.where(cnt > kt, tv[:, -1], neg))
-        return (counts, max_cnt, tbound), (tv, tc)
+        return (counts, tmax, tbound), (tv, tc)
 
-    init = (jnp.zeros((m,), jnp.int32), jnp.int32(0), jnp.full((m,), neg))
-    (counts, max_cnt, tbound), (tv, tc) = jax.lax.scan(
+    init = (
+        jnp.zeros((m,), jnp.int32),
+        jnp.zeros((m,), jnp.int32),
+        jnp.full((m,), neg),
+    )
+    (counts, tmax, tbound), (tv, tc) = jax.lax.scan(
         body, init, (b_hash_tiles, offsets)
     )
     # (n_tiles, m, kt) -> (m, n_tiles * kt)
@@ -408,7 +413,7 @@ def _ub_topk_scan(
         # (``_compact_cols``) relies on.
         w_vals, idx = jax.lax.top_k(w_vals, n_tiles * kt)
         w_cols = jnp.take_along_axis(w_cols, idx, axis=1)
-    return w_vals, w_cols, counts, max_cnt, drop_bound
+    return w_vals, w_cols, counts, tmax, drop_bound
 
 
 def match_block(
@@ -526,16 +531,16 @@ def _corpus_match(
     one per chunk; only column ids + one scalar per row leave the device."""
 
     def chunk_body(_, a_hash):
-        w_vals, w_cols, counts, max_cnt, bound = _ub_topk_scan(
+        w_vals, w_cols, counts, tmax, bound = _ub_topk_scan(
             a_hash, b_hash_tiles, thr_eff, cand_c, k_tile, use_kernel
         )
         cols = finalize_ship(w_vals, w_cols)
-        return None, (cols, bound, counts, max_cnt)
+        return None, (cols, bound, counts, tmax)
 
-    _, (cols, bound, counts, max_cnt) = jax.lax.scan(
+    _, (cols, bound, counts, tmax) = jax.lax.scan(
         chunk_body, None, a_hash_chunks
     )
-    return cols, bound, counts, max_cnt.max()
+    return cols, bound, counts, tmax, tmax.max()
 
 
 def _closed2(ub, thr_eff, axis, off, neg):
@@ -855,6 +860,11 @@ def _phase1_single(
                 continue
             counts_h = np.asarray(counts_d)[:rows_here]
             bound_h = np.asarray(bound_d)[:rows_here]
+            # Conservative tile-max surrogate: the triangular pass counts
+            # candidates split between the row-side scan and the future
+            # buffer, so the exact per-tile maximum is not tracked; the
+            # total count is always an upper bound on it.
+            tmax_h = counts_h
             mc_i = int(mc)
             n_i_h = np.asarray(n_i)
             total = int(n_i_h.sum())
@@ -866,7 +876,7 @@ def _phase1_single(
                 keep = (rows_l < rows_here) & (flat_h < n_right)
                 yield (
                     base + rows_l[keep], flat_h[keep],
-                    base, rows_here, bound_h, counts_h, mc_i,
+                    base, rows_here, bound_h, counts_h, tmax_h, mc_i,
                 )
                 continue
             cols_h = np.asarray(ship_d)[:rows_here]
@@ -874,14 +884,15 @@ def _phase1_single(
                 cols_h, n_right,
                 row_ids=base + np.arange(rows_here, dtype=np.int64),
             )
-            yield (r_g, c_g, base, rows_here, bound_h, counts_h, mc_i)
+            yield (r_g, c_g, base, rows_here, bound_h, counts_h, tmax_h, mc_i)
 
     def run_stream(thr_eff, cand_c, k_tile):
-        """Yield ``(rows, cols, base, rows_here, bound, counts, max_cnt)``
-        per segment -- rows/cols are the segment's candidate pairs (global
-        int64 ids).  All segments are dispatched up front (including the
-        compaction epilogue); the device queue drains while the consumer
-        scores earlier segments."""
+        """Yield ``(rows, cols, base, rows_here, bound, counts, tmax,
+        max_cnt)`` per segment -- rows/cols are the segment's candidate
+        pairs (global int64 ids); ``tmax`` the per-row maximum per-tile
+        qualified count (sizes the escalation width exactly).  All segments
+        are dispatched up front (including the compaction epilogue); the
+        device queue drains while the consumer scores earlier segments."""
         thr = jnp.float32(thr_eff)
         use_k = on_tpu and fused_enabled() and fused_tile_topk_supported(
             chunk, tile, hash_dim, k_tile
@@ -902,7 +913,7 @@ def _phase1_single(
         budget = -(-seg_rows * _SHIP_BUDGET_ROWS // 1024) * 1024
         futs = []
         for g in range(n_seg):
-            cols, bound, counts, max_cnt = _corpus_match(
+            cols, bound, counts, tmax, max_cnt = _corpus_match(
                 a_hash_chunks[g * cpg : (g + 1) * cpg],
                 b_hash_tiles, thr, cand_c, k_tile, use_k,
             )
@@ -910,13 +921,16 @@ def _phase1_single(
             flat = n_i = None
             if do_compact:
                 flat, n_i = _compact_cols(cols2, budget)
-            futs.append((cols2, flat, n_i, bound, counts, max_cnt))
-        for g, (cols2, flat, n_i, bound, counts, max_cnt) in enumerate(futs):
+            futs.append((cols2, flat, n_i, bound, counts, tmax, max_cnt))
+        for g, (cols2, flat, n_i, bound, counts, tmax, max_cnt) in enumerate(
+            futs
+        ):
             base = g * seg_rows
             rows_here = max(0, min(seg_rows, n_left - base))
             if rows_here == 0:
                 continue
             counts_h = np.asarray(counts).reshape(-1)[:rows_here]
+            tmax_h = np.asarray(tmax).reshape(-1)[:rows_here]
             bound_h = np.asarray(bound).reshape(-1)[:rows_here]
             mc = int(max_cnt)
             if flat is not None:
@@ -932,7 +946,7 @@ def _phase1_single(
                     keep = (rows_l < rows_here) & (flat_h < n_right)
                     yield (
                         base + rows_l[keep], flat_h[keep],
-                        base, rows_here, bound_h, counts_h, mc,
+                        base, rows_here, bound_h, counts_h, tmax_h, mc,
                     )
                     continue
             cols_h = np.asarray(cols2)[:rows_here]
@@ -940,7 +954,7 @@ def _phase1_single(
                 cols_h, n_right,
                 row_ids=base + np.arange(rows_here, dtype=np.int64),
             )
-            yield (r_g, c_g, base, rows_here, bound_h, counts_h, mc)
+            yield (r_g, c_g, base, rows_here, bound_h, counts_h, tmax_h, mc)
 
     a_flat = a_hash_chunks.reshape(-1, hash_dim)
 
@@ -967,7 +981,7 @@ def _phase1_single(
         use_k = on_tpu and fused_enabled() and fused_tile_topk_supported(
             chunk, tile, hash_dim, k_tile
         )
-        cols, ub_last, counts, max_cnt = _corpus_match(
+        cols, ub_last, counts, _tmax, max_cnt = _corpus_match(
             a_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile, use_k
         )
         cols2 = cols.reshape(-1, cols.shape[-1])
@@ -1107,6 +1121,7 @@ def adaptive_topn(
         logger.debug("phase1: C=%d k_tile=%d", c, kt)
         rows_parts, cols_parts, sims_parts = [], [], []
         counts = np.zeros(n_left, dtype=np.int64)
+        tmax = np.zeros(n_left, dtype=np.int64)
         bound = np.full(n_left, -np.inf)
         max_cnt = 0
         # Stream segments: exact fp64 scoring of each segment overlaps the
@@ -1118,7 +1133,7 @@ def adaptive_topn(
             stats["p1_wait"] += _time.perf_counter() - t0
             if item is None:
                 break
-            r_g, cl_g, base, m_g, bound_g, counts_g, mc_g = item
+            r_g, cl_g, base, m_g, bound_g, counts_g, tmax_g, mc_g = item
             t0 = _time.perf_counter()
             sims_g = rescore_pairs_fp64(left, right, r_g, cl_g)
             stats["rescore"] += _time.perf_counter() - t0
@@ -1127,6 +1142,7 @@ def adaptive_topn(
             cols_parts.append(cl_g)
             sims_parts.append(sims_g)
             counts[base : base + m_g] = counts_g
+            tmax[base : base + m_g] = tmax_g
             bound[base : base + m_g] = bound_g
             max_cnt = max(max_cnt, mc_g)
         logger.debug(
@@ -1140,7 +1156,7 @@ def adaptive_topn(
             np.concatenate(cols_parts) if cols_parts else np.zeros(0, np.int64)
         )
         sims = np.concatenate(sims_parts) if sims_parts else np.zeros(0)
-        return rows_f, cols_f, sims, counts, bound, max_cnt
+        return rows_f, cols_f, sims, counts, tmax, bound, max_cnt
 
     def unsafe_rows(bound, kept_q, row_cut):
         # Dropped candidates are bounded by the device-reported drop bound.
@@ -1163,7 +1179,7 @@ def adaptive_topn(
             & ((kept_q < max_n_eff) | (adj >= cut))
         )
 
-    rows_f, cols_f, sims, counts, bound, max_cnt = collect(c, kt)
+    rows_f, cols_f, sims, counts, tmax, bound, max_cnt = collect(c, kt)
     t0 = _time.perf_counter()
     rows_s, cols_s, sims_s, kept_q, row_cut = _select_topn(
         rows_f, cols_f, sims, n_left, min_similarity, max_n_eff
@@ -1188,7 +1204,7 @@ def adaptive_topn(
                 grew = True
             if not grew:
                 break
-            rows_f, cols_f, sims, counts, bound, max_cnt = collect(c, kt)
+            rows_f, cols_f, sims, counts, tmax, bound, max_cnt = collect(c, kt)
             rows_s, cols_s, sims_s, kept_q, row_cut = _select_topn(
                 rows_f, cols_f, sims, n_left, min_similarity, max_n_eff
             )
@@ -1213,7 +1229,11 @@ def adaptive_topn(
             # C == padded corpus width fits them all), so the next unsafe
             # check clears unconditionally.
             kt_big, c_full = kt_cap, max(c_cap, 1)
-        if not forced and escalations < 4 and len(idx) * c_full > 32_000_000:
+        jobs = []  # (rows, c_big, kt_use)
+        if forced:
+            jobs.append((idx, c_full, kt_big))
+            last_bucketed = False
+        elif escalations < 4 and len(idx) * c_full > 32_000_000:
             # Bucketed escalation, only when the full-width re-match would
             # ship too much (each extra round costs a full re-select):
             # cover the bulk of the unsafe rows at the width the 90th
@@ -1226,35 +1246,56 @@ def adaptive_topn(
             if len(covered):
                 idx = covered
             last_bucketed = c_big < c_full or len(idx) < int(unsafe.sum())
+            if escalations == 1 and kt_big > 8:
+                # lax.top_k at a large k is a full per-tile sort, so the
+                # bucketed bulk extracts at the cheap iterated kt=8 width;
+                # rows genuinely above it re-escalate via their drop bound.
+                kt_use = 8
+                last_bucketed = True
+            else:
+                kt_use = kt_big
+            jobs.append((idx, c_big, kt_use))
         else:
-            c_big = c_full
+            # Exact width split: the device reports each row's maximum
+            # per-tile qualified count (tmax), so the bulk of the unsafe
+            # rows run at the cheap iterated kt=8 width they provably fit,
+            # and the (typically few) rows above it get exactly the width
+            # they need -- both widths are sufficient by construction, so
+            # one escalation round settles everything (the drop-bound
+            # re-check stays as the unconditional safety net).
+            tm = tmax[idx]
+            for g in (idx[tm <= 8], idx[tm > 8]):
+                if not len(g):
+                    continue
+                kt_g = min(kt_cap, max(8, _next_pow2(int(tmax[g].max()))))
+                c_g = min(
+                    max(c_cap, 1),
+                    max(_next_pow2(int(counts[g].max())), c),
+                )
+                jobs.append((g, c_g, kt_g))
             last_bucketed = False
-        if not forced and escalations == 1 and kt_big > 8:
-            # Progressive extraction width: most escalated rows only
-            # slightly overflowed the phase-1 k_tile, and lax.top_k at a
-            # large k is a full per-tile sort (k-independent cost) -- so
-            # the first escalation round extracts with the cheap iterated
-            # kt=8 path.  Rows whose tiles genuinely hold more than 8
-            # qualified columns report a finite drop bound from this run
-            # and re-escalate at full width next round; the drop-bound
-            # machinery makes the shortcut unconditionally safe.
-            kt_use = 8
-            last_bucketed = True
-        else:
-            kt_use = kt_big
         last_round = (kt_big, c_full, int(unsafe.sum()))
-        logger.debug(
-            "escalate %d rows to C=%d k_tile=%d (round %d)",
-            len(idx), c_big, kt_use, escalations,
-        )
-        t0 = _time.perf_counter()
-        rows_pos, sub_cols_f, sub_bound = phase1_run_rows(
-            idx, effective_threshold(min_similarity), c_big, kt_use,
-            budget_hint=int(counts[idx].sum()),
-        )
-        stats["esc_wait"] += _time.perf_counter() - t0
         stats["rounds"] = escalations
-        sub_rows = idx.astype(np.int64)[rows_pos]
+        touched = np.zeros(n_left, dtype=bool)
+        sub_rows_parts, sub_cols_parts = [], []
+        for g, c_big, kt_use in jobs:
+            logger.debug(
+                "escalate %d rows to C=%d k_tile=%d (round %d)",
+                len(g), c_big, kt_use, escalations,
+            )
+            t0 = _time.perf_counter()
+            rows_pos, g_cols, g_bound = phase1_run_rows(
+                g, effective_threshold(min_similarity), c_big, kt_use,
+                budget_hint=int(counts[g].sum()),
+            )
+            stats["esc_wait"] += _time.perf_counter() - t0
+            sub_rows_parts.append(g.astype(np.int64)[rows_pos])
+            sub_cols_parts.append(g_cols)
+            bound[g] = g_bound
+            touched[g] = True
+        idx = np.flatnonzero(touched)
+        sub_rows = np.concatenate(sub_rows_parts)
+        sub_cols_f = np.concatenate(sub_cols_parts)
         t0 = _time.perf_counter()
         sub_sims = rescore_pairs_fp64(left, right, sub_rows, sub_cols_f)
         stats["rescore"] += _time.perf_counter() - t0
@@ -1267,15 +1308,12 @@ def adaptive_topn(
             sub_rows, sub_cols_f, sub_sims, n_left, min_similarity, max_n_eff
         )
         stats["select"] += _time.perf_counter() - t0
-        in_idx = np.zeros(n_left, dtype=bool)
-        in_idx[idx] = True
-        keep_sel = ~in_idx[rows_s]
+        keep_sel = ~touched[rows_s]
         rows_s = np.concatenate([rows_s[keep_sel], r2])
         cols_s = np.concatenate([cols_s[keep_sel], c2])
         sims_s = np.concatenate([sims_s[keep_sel], s2])
         kept_q[idx] = kq2[idx]
         row_cut[idx] = rc2[idx]
-        bound[idx] = sub_bound
     if len(rows_s):
         true_max = int(np.bincount(rows_s, minlength=left.n_rows).max(initial=0))
     else:

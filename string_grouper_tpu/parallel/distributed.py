@@ -225,7 +225,7 @@ def _local_block(a_hash, b_hash_tiles, thr_eff, *, cand_c: int, k_tile: int):
     bounds.
     """
     n_loc = b_hash_tiles.shape[0] * b_hash_tiles.shape[1]
-    w_vals, w_cols, counts, max_cnt, bound = match_block(
+    w_vals, w_cols, counts, tmax, bound = match_block(
         a_hash, b_hash_tiles, thr_eff, cand_c, k_tile
     )
     neg = jnp.float32(-jnp.inf)
@@ -235,11 +235,13 @@ def _local_block(a_hash, b_hash_tiles, thr_eff, *, cand_c: int, k_tile: int):
     gc = jax.lax.all_gather(cols_loc, "mp")  # (mp, m, W)
     mp_sz, m, w = gc.shape
     cols = jnp.swapaxes(gc, 0, 1).reshape(m, mp_sz * w)
-    # Per-shard maxima: a shard drops candidates only against its own caps.
+    # Per-shard maxima: a shard drops candidates only against its own caps
+    # (cand_c and k_tile are per-shard widths), so the driver's growth
+    # checks need the tightest per-shard values, not cross-shard sums.
     counts = jax.lax.pmax(counts, "mp")
+    tmax = jax.lax.pmax(tmax, "mp")
     bound = jax.lax.pmax(bound, "mp")
-    max_cnt = jax.lax.pmax(max_cnt, ("dp", "mp"))
-    return cols, bound, counts, max_cnt
+    return cols, bound, counts, tmax
 
 
 @partial(jax.jit, static_argnames=("mesh", "cand_c", "k_tile"))
@@ -256,10 +258,10 @@ def _dist_match(
             )
             return None, out
 
-        _, (cols, ub_last, counts, max_cnt) = jax.lax.scan(
+        _, (cols, ub_last, counts, tmax) = jax.lax.scan(
             chunk_body, None, a_chunks_loc
         )
-        return cols, ub_last, counts, max_cnt.max()
+        return cols, ub_last, counts, tmax, tmax.max()
 
     fn = shard_map(
         scan_over_chunks,
@@ -271,6 +273,7 @@ def _dist_match(
         ),
         out_specs=(
             P(None, "dp", None),
+            P(None, "dp"),
             P(None, "dp"),
             P(None, "dp"),
             P(),
@@ -349,7 +352,7 @@ def _phase1_distributed(
         budget = -(-seg_rows * _SHIP_BUDGET_ROWS // 1024) * 1024
         futs = []
         for g in range(n_seg):
-            cols, bound, counts, max_cnt = _dist_match(
+            cols, bound, counts, tmax, max_cnt = _dist_match(
                 mesh, a_hash_chunks[g * spg : (g + 1) * spg],
                 b_hash_tiles, thr, cand_c, k_tile,
             )
@@ -357,13 +360,16 @@ def _phase1_distributed(
             flat = n_i = None
             if do_compact:
                 flat, n_i = _sort_compact(cols2, budget)
-            futs.append((cols2, flat, n_i, bound, counts, max_cnt))
-        for g, (cols2, flat, n_i, bound, counts, max_cnt) in enumerate(futs):
+            futs.append((cols2, flat, n_i, bound, counts, tmax, max_cnt))
+        for g, (cols2, flat, n_i, bound, counts, tmax, max_cnt) in enumerate(
+            futs
+        ):
             base = g * seg_rows
             rows_here = max(0, min(seg_rows, n_left - base))
             if rows_here == 0:
                 continue
             counts_h = np.asarray(counts).reshape(-1)[:rows_here]
+            tmax_h = np.asarray(tmax).reshape(-1)[:rows_here]
             bound_h = np.asarray(bound).reshape(-1)[:rows_here]
             mc = int(max_cnt)
             if flat is not None:
@@ -377,7 +383,7 @@ def _phase1_distributed(
                     keep = (rows_l < rows_here) & (flat_h < n_right)
                     yield (
                         base + rows_l[keep], flat_h[keep],
-                        base, rows_here, bound_h, counts_h, mc,
+                        base, rows_here, bound_h, counts_h, tmax_h, mc,
                     )
                     continue
             cols_h = np.asarray(cols2)[:rows_here]
@@ -385,7 +391,7 @@ def _phase1_distributed(
                 cols_h, n_right,
                 row_ids=base + np.arange(rows_here, dtype=np.int64),
             )
-            yield (r_g, c_g, base, rows_here, bound_h, counts_h, mc)
+            yield (r_g, c_g, base, rows_here, bound_h, counts_h, tmax_h, mc)
 
     a_flat = a_hash_chunks.reshape(-1, hash_dim)
 
@@ -404,7 +410,7 @@ def _phase1_distributed(
             valid = (jnp.arange(m_p) < m)[:, None]
             a_sel = jnp.where(valid, a_sel, 0)
         a_sel = a_sel.reshape(-1, sc, hash_dim)
-        cols, ub_last, counts, max_cnt = _dist_match(
+        cols, ub_last, counts, _tmax, max_cnt = _dist_match(
             mesh, a_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile
         )
         cols2 = cols.reshape(-1, cols.shape[-1])

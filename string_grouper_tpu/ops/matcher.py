@@ -517,6 +517,21 @@ def _download_cols(flat: jax.Array, total: int, n_right_p: int) -> np.ndarray:
     return np.asarray(flat)[:total].astype(np.int64)
 
 
+@jax.jit
+def _pack_meta(*parts: jax.Array) -> jax.Array:
+    """Concatenate per-row metadata vectors (i32 counts, f32 bounds, ...)
+    into ONE i32 array so each segment costs a single host round-trip --
+    through the tunneled link every ``np.asarray`` pays full latency, and
+    the streamed scan used to make five per segment."""
+    out = []
+    for x in parts:
+        x = x.reshape(-1)
+        if x.dtype == jnp.float32:
+            x = jax.lax.bitcast_convert_type(x, jnp.int32)
+        out.append(x.astype(jnp.int32))
+    return jnp.concatenate(out)
+
+
 @partial(jax.jit, static_argnames=("cand_c", "k_tile", "use_kernel"))
 def _corpus_match(
     a_hash_chunks: jax.Array,  # (n_chunks, chunk, d) bf16
@@ -852,21 +867,24 @@ def _phase1_single(
                     ccnt[:, cpg_t:], cbnd[:, cpg_t:],
                     jnp.int32((b0 + cpg_t) * tile), cand_c=cand_c,
                 )
-            futs.append((flat, n_i, counts_d, bound_d, ship_d, mc))
-        for s, (flat, n_i, counts_d, bound_d, ship_d, mc) in enumerate(futs):
+            futs.append(
+                (_pack_meta(counts_d, bound_d, n_i), flat, ship_d, mc)
+            )
+        for s, (meta, flat, ship_d, mc) in enumerate(futs):
             base = s * seg_rows_t
             rows_here = max(0, min(seg_rows_t, n_left - base))
             if rows_here == 0:
                 continue
-            counts_h = np.asarray(counts_d)[:rows_here]
-            bound_h = np.asarray(bound_d)[:rows_here]
+            meta_h = np.asarray(meta).reshape(3, -1)
+            counts_h = meta_h[0][:rows_here]
+            bound_h = meta_h[1].view(np.float32)[:rows_here]
             # Conservative tile-max surrogate: the triangular pass counts
             # candidates split between the row-side scan and the future
             # buffer, so the exact per-tile maximum is not tracked; the
             # total count is always an upper bound on it.
             tmax_h = counts_h
             mc_i = int(mc)
-            n_i_h = np.asarray(n_i)
+            n_i_h = meta_h[2]
             total = int(n_i_h.sum())
             if total <= budget:
                 flat_h = _download_cols(flat, total, n_pp)
@@ -918,23 +936,25 @@ def _phase1_single(
                 b_hash_tiles, thr, cand_c, k_tile, use_k,
             )
             cols2 = cols.reshape(-1, cols.shape[-1])
-            flat = n_i = None
+            flat = None
             if do_compact:
                 flat, n_i = _compact_cols(cols2, budget)
-            futs.append((cols2, flat, n_i, bound, counts, tmax, max_cnt))
-        for g, (cols2, flat, n_i, bound, counts, tmax, max_cnt) in enumerate(
-            futs
-        ):
+                meta = _pack_meta(counts, tmax, bound, n_i)
+            else:
+                meta = _pack_meta(counts, tmax, bound)
+            futs.append((meta, cols2, flat, max_cnt))
+        for g, (meta, cols2, flat, max_cnt) in enumerate(futs):
             base = g * seg_rows
             rows_here = max(0, min(seg_rows, n_left - base))
             if rows_here == 0:
                 continue
-            counts_h = np.asarray(counts).reshape(-1)[:rows_here]
-            tmax_h = np.asarray(tmax).reshape(-1)[:rows_here]
-            bound_h = np.asarray(bound).reshape(-1)[:rows_here]
+            meta_h = np.asarray(meta).reshape(-1, seg_rows)
+            counts_h = meta_h[0][:rows_here]
+            tmax_h = meta_h[1][:rows_here]
+            bound_h = meta_h[2].view(np.float32)[:rows_here]
             mc = int(max_cnt)
             if flat is not None:
-                n_i_h = np.asarray(n_i)
+                n_i_h = meta_h[3]
                 total = int(n_i_h.sum())
                 if total <= budget:
                     flat_h = _download_cols(flat, total, n_right_p)
@@ -985,8 +1005,8 @@ def _phase1_single(
             a_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile, use_k
         )
         cols2 = cols.reshape(-1, cols.shape[-1])
-        bound_h = np.asarray(ub_last).reshape(-1)[:m]
         w = cols2.shape[-1]
+        bound_h = None
         if (
             thr_eff > 0
             and budget_hint is not None
@@ -995,7 +1015,9 @@ def _phase1_single(
             budget = _next_pow2(budget_hint + 8)
             if budget < m_p * w:
                 flat, n_i = _compact_cols(cols2, budget)
-                n_i_h = np.asarray(n_i)
+                meta_h = np.asarray(_pack_meta(ub_last, n_i)).reshape(2, -1)
+                bound_h = meta_h[0].view(np.float32)[:m]
+                n_i_h = meta_h[1]
                 total = int(n_i_h.sum())
                 if total <= budget:
                     flat_h = _download_cols(flat, total, n_right_p)
@@ -1004,6 +1026,8 @@ def _phase1_single(
                     )
                     keep = (rows_l < m) & (flat_h < n_right)
                     return rows_l[keep], flat_h[keep], bound_h
+        if bound_h is None:
+            bound_h = np.asarray(ub_last).reshape(-1)[:m]
         cols_h = np.asarray(cols2)[:m]
         rows_pos, cols_f = _pairs_from_ship(cols_h, n_right)
         return rows_pos, cols_f, bound_h

@@ -51,6 +51,7 @@ from ..ops.matcher import (
     _next_pow2,
     _pad_width,
     _pairs_from_ship,
+    _pack_meta,
     adaptive_topn,
     apply_self_join_fixups,
     build_hash_matrix,
@@ -357,23 +358,25 @@ def _phase1_distributed(
                 b_hash_tiles, thr, cand_c, k_tile,
             )
             cols2 = cols.reshape(-1, cols.shape[-1])
-            flat = n_i = None
+            flat = None
             if do_compact:
                 flat, n_i = _sort_compact(cols2, budget)
-            futs.append((cols2, flat, n_i, bound, counts, tmax, max_cnt))
-        for g, (cols2, flat, n_i, bound, counts, tmax, max_cnt) in enumerate(
-            futs
-        ):
+                meta = _pack_meta(counts, tmax, bound, n_i)
+            else:
+                meta = _pack_meta(counts, tmax, bound)
+            futs.append((meta, cols2, flat, max_cnt))
+        for g, (meta, cols2, flat, max_cnt) in enumerate(futs):
             base = g * seg_rows
             rows_here = max(0, min(seg_rows, n_left - base))
             if rows_here == 0:
                 continue
-            counts_h = np.asarray(counts).reshape(-1)[:rows_here]
-            tmax_h = np.asarray(tmax).reshape(-1)[:rows_here]
-            bound_h = np.asarray(bound).reshape(-1)[:rows_here]
+            meta_h = np.asarray(meta).reshape(-1, seg_rows)
+            counts_h = meta_h[0][:rows_here]
+            tmax_h = meta_h[1][:rows_here]
+            bound_h = meta_h[2].view(np.float32)[:rows_here]
             mc = int(max_cnt)
             if flat is not None:
-                n_i_h = np.asarray(n_i)
+                n_i_h = meta_h[3]
                 total = int(n_i_h.sum())
                 if total <= budget:
                     flat_h = np.asarray(flat)[:total].astype(np.int64)
@@ -414,8 +417,8 @@ def _phase1_distributed(
             mesh, a_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile
         )
         cols2 = cols.reshape(-1, cols.shape[-1])
-        bound_h = np.asarray(ub_last).reshape(-1)[:m]
         w = cols2.shape[-1]
+        bound_h = None
         if (
             thr_eff > 0
             and budget_hint is not None
@@ -426,13 +429,17 @@ def _phase1_distributed(
             budget = _next_pow2(budget_hint * mp + 8)
             if budget < m_p * w:
                 flat, n_i = _sort_compact(cols2, budget)
-                n_i_h = np.asarray(n_i)
+                meta_h = np.asarray(_pack_meta(ub_last, n_i)).reshape(2, -1)
+                bound_h = meta_h[0].view(np.float32)[:m]
+                n_i_h = meta_h[1]
                 total = int(n_i_h.sum())
                 if total <= budget:
                     flat_h = np.asarray(flat)[:total].astype(np.int64)
                     rows_l = np.repeat(np.arange(m_p, dtype=np.int64), n_i_h)
                     keep = (rows_l < m) & (flat_h < n_right)
                     return rows_l[keep], flat_h[keep], bound_h
+        if bound_h is None:
+            bound_h = np.asarray(ub_last).reshape(-1)[:m]
         cols_h = np.asarray(cols2)[:m]
         rows_pos, cols_f = _pairs_from_ship(cols_h, n_right)
         return rows_pos, cols_f, bound_h

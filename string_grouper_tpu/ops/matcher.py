@@ -614,10 +614,11 @@ def _self_seg_match(
     running buffers defeat XLA's in-place scheduling), and a monolithic
     whole-corpus program crashed the tunneled TPU runtime.
 
-    Returns (w_vals, w_cols, counts, tbound, max_cnt, cv, cc, ccnt, cbnd):
-    row-side per-row top-``cand_c`` candidates (desc, -inf = none) with
-    qualified counts and drop bounds for the segment's rows, plus the
-    stacked column-side stripes (cpg, n_j, tile, 2) for future rows.
+    Returns (w_vals, w_cols, counts, tmax, tbound, max_cnt, cv, cc, ccnt,
+    cbnd): row-side per-row top-``cand_c`` candidates (desc, -inf = none)
+    with qualified counts, per-tile max counts (for the escalation width
+    split), and drop bounds for the segment's rows, plus the stacked
+    column-side stripes (cpg, n_j, tile, 2) for future rows.
     """
     cpg, tile, _ = a_seg.shape
     n_j = b_tiles_seg.shape[0]
@@ -630,22 +631,26 @@ def _self_seg_match(
 
         def tile_body(carry, xs):
             b, c_base = xs
-            cnt_acc, tb_acc, mc = carry
+            cnt_acc, tm_acc, tb_acc, mc = carry
             ub = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
             rv, rc, rcnt, rbnd = _closed2(ub, thr_eff, 1, c_base, neg)
             cnt_acc = cnt_acc + rcnt
+            tm_acc = jnp.maximum(tm_acc, rcnt)
             tb_acc = jnp.maximum(tb_acc, rbnd)
             mc = jnp.maximum(mc, rcnt.max())
             cv, cc, ccnt, cbnd = _closed2(ub, thr_eff, 0, a_base, neg)
             mc = jnp.maximum(mc, ccnt.max())
-            return (cnt_acc, tb_acc, mc), (rv, rc, cv, cc, ccnt, cbnd)
+            return (cnt_acc, tm_acc, tb_acc, mc), (
+                rv, rc, cv, cc, ccnt, cbnd
+            )
 
         init = (
+            jnp.zeros((tile,), jnp.int32),
             jnp.zeros((tile,), jnp.int32),
             jnp.full((tile,), neg),
             jnp.int32(0),
         )
-        (cnt, tb, mc), (rv, rc, cv, cc, ccnt, cbnd) = jax.lax.scan(
+        (cnt, tm, tb, mc), (rv, rc, cv, cc, ccnt, cbnd) = jax.lax.scan(
             tile_body, init, (b_tiles_seg, col_off)
         )
         # Row side: (n_j, tile, 2) -> per-row top-cand_c across tiles.
@@ -661,20 +666,21 @@ def _self_seg_match(
         else:
             w_vals, idx = jax.lax.top_k(w_vals, n_j * 2)
             w_cols = jnp.take_along_axis(w_cols, idx, axis=1)
-        return None, (w_vals, w_cols, cnt, tb, mc, cv, cc, ccnt, cbnd)
+        return None, (w_vals, w_cols, cnt, tm, tb, mc, cv, cc, ccnt, cbnd)
 
     _, out = jax.lax.scan(chunk_body, None, (a_seg, a_off))
-    w_vals, w_cols, cnt, tb, mc, cv, cc, ccnt, cbnd = out
-    return w_vals, w_cols, cnt, tb, mc.max(), cv, cc, ccnt, cbnd
+    w_vals, w_cols, cnt, tm, tb, mc, cv, cc, ccnt, cbnd = out
+    return w_vals, w_cols, cnt, tm, tb, mc.max(), cv, cc, ccnt, cbnd
 
 
 @partial(
-    jax.jit, static_argnames=("cand_c",), donate_argnums=(0, 1, 2, 3)
+    jax.jit, static_argnames=("cand_c",), donate_argnums=(0, 1, 2, 3, 4)
 )
 def _merge_future(
     fv: jax.Array,  # (n_p, cand_c) f32 running future values
     fc: jax.Array,  # (n_p, cand_c) i32
     fcounts: jax.Array,  # (n_p,) i32
+    ftmax: jax.Array,  # (n_p,) i32 running per-row max per-tile count
     fbound: jax.Array,  # (n_p,) f32
     cv: jax.Array,  # (cpg, nf, tile, 2) f32 -- future column-side stripes
     cc: jax.Array,  # (cpg, nf, tile, 2) i32
@@ -691,9 +697,12 @@ def _merge_future(
     rows = nf * tile
     cvr = jnp.transpose(cv, (1, 2, 0, 3)).reshape(rows, cpg * 2)
     ccr = jnp.transpose(cc, (1, 2, 0, 3)).reshape(rows, cpg * 2)
-    cntr = jnp.transpose(ccnt, (1, 2, 0)).reshape(rows, cpg).sum(
-        axis=1, dtype=jnp.int32
-    )
+    cnt_t = jnp.transpose(ccnt, (1, 2, 0)).reshape(rows, cpg)
+    cntr = cnt_t.sum(axis=1, dtype=jnp.int32)
+    # Each stripe element is one (future-row, left-tile) qualified count,
+    # so the per-row max over stripes is the exact per-tile maximum the
+    # escalation width split needs.
+    tmr = cnt_t.max(axis=1)
     bndr = jnp.transpose(cbnd, (1, 2, 0)).reshape(rows, cpg).max(axis=1)
     old_v = jax.lax.dynamic_slice(fv, (dst0, 0), (rows, cand_c))
     old_c = jax.lax.dynamic_slice(fc, (dst0, 0), (rows, cand_c))
@@ -707,12 +716,14 @@ def _merge_future(
     fc = jax.lax.dynamic_update_slice(fc, new_c, (dst0, 0))
     cs = jax.lax.dynamic_slice(fcounts, (dst0,), (rows,)) + cntr
     fcounts = jax.lax.dynamic_update_slice(fcounts, cs, (dst0,))
+    ts = jnp.maximum(jax.lax.dynamic_slice(ftmax, (dst0,), (rows,)), tmr)
+    ftmax = jax.lax.dynamic_update_slice(ftmax, ts, (dst0,))
     bs = jnp.maximum(
         jax.lax.dynamic_slice(fbound, (dst0,), (rows,)),
         jnp.maximum(bndr, trunc),
     )
     fbound = jax.lax.dynamic_update_slice(fbound, bs, (dst0,))
-    return fv, fc, fcounts, fbound
+    return fv, fc, fcounts, ftmax, fbound
 
 
 @partial(jax.jit, static_argnames=("cand_c", "budget"))
@@ -720,10 +731,12 @@ def _finish_segment(
     w_vals: jax.Array,  # (cpg, tile, <=cand_c) f32 row-side candidates
     w_cols: jax.Array,
     cnt: jax.Array,  # (cpg, tile) i32 row-side qualified counts
+    tm: jax.Array,  # (cpg, tile) i32 row-side per-tile max counts
     tb: jax.Array,  # (cpg, tile) f32 row-side drop bounds
     fv: jax.Array,  # (n_pp, cand_c) f32 future buffers (read-only here)
     fc: jax.Array,
     fcounts: jax.Array,  # (n_pp,) i32
+    ftmax: jax.Array,  # (n_pp,) i32
     fbound: jax.Array,  # (n_pp,) f32
     r0: jax.Array,  # i32 scalar: global row of the segment's first row
     cand_c: int,
@@ -739,6 +752,7 @@ def _finish_segment(
     fv_slice = jax.lax.dynamic_slice(fv, (r0, 0), (rows, cand_c))
     fc_slice = jax.lax.dynamic_slice(fc, (r0, 0), (rows, cand_c))
     fcounts_slice = jax.lax.dynamic_slice(fcounts, (r0,), (rows,))
+    ftmax_slice = jax.lax.dynamic_slice(ftmax, (r0,), (rows,))
     fbound_slice = jax.lax.dynamic_slice(fbound, (r0,), (rows,))
     cat_v = jnp.concatenate([rv, fv_slice], axis=1)
     cat_c = jnp.concatenate([rc, fc_slice], axis=1)
@@ -747,12 +761,13 @@ def _finish_segment(
     new_c = jnp.take_along_axis(cat_c, idx, axis=1)
     trunc = jnp.where(n_fin > cand_c, new_v[:, -1], neg)
     counts = cnt.reshape(rows) + fcounts_slice
+    tmax = jnp.maximum(tm.reshape(rows), ftmax_slice)
     bound = jnp.maximum(
         jnp.maximum(tb.reshape(rows), fbound_slice), trunc
     )
     ship = jnp.where(new_v > neg, new_c, -1)
     flat, n_i = _compact_cols(ship, budget)
-    return flat, n_i, counts, bound, ship
+    return flat, n_i, counts, tmax, bound, ship
 
 
 def triangular_enabled() -> bool:
@@ -842,49 +857,47 @@ def _phase1_single(
         fv = jnp.full((n_pp, cand_c), jnp.float32(-jnp.inf))
         fc = jnp.zeros((n_pp, cand_c), jnp.int32)
         fcounts = jnp.zeros((n_pp,), jnp.int32)
+        ftmax = jnp.zeros((n_pp,), jnp.int32)
         fbound = jnp.full((n_pp,), jnp.float32(-jnp.inf))
         futs = []
         for s in range(n_seg_t):
             b0 = s * cpg_t
             a_seg = jax.lax.slice_in_dim(tiles_all, b0, b0 + cpg_t)
             b_seg = jax.lax.slice_in_dim(tiles_all, b0, nt_p)
-            w_vals, w_cols, cnt, tb, mc, cv, cc, ccnt, cbnd = (
+            w_vals, w_cols, cnt, tm, tb, mc, cv, cc, ccnt, cbnd = (
                 _self_seg_match(
                     a_seg, b_seg, jnp.int32(b0), thr, cand_c=cand_c
                 )
             )
             # Finish reads this segment's future-buffer rows BEFORE the
             # merge below donates the buffers.
-            flat, n_i, counts_d, bound_d, ship_d = _finish_segment(
-                w_vals, w_cols, cnt, tb,
-                fv, fc, fcounts, fbound, jnp.int32(b0 * tile),
+            flat, n_i, counts_d, tmax_d, bound_d, ship_d = _finish_segment(
+                w_vals, w_cols, cnt, tm, tb,
+                fv, fc, fcounts, ftmax, fbound, jnp.int32(b0 * tile),
                 cand_c=cand_c, budget=budget,
             )
             if b0 + cpg_t < nt_p:
-                fv, fc, fcounts, fbound = _merge_future(
-                    fv, fc, fcounts, fbound,
+                fv, fc, fcounts, ftmax, fbound = _merge_future(
+                    fv, fc, fcounts, ftmax, fbound,
                     cv[:, cpg_t:], cc[:, cpg_t:],
                     ccnt[:, cpg_t:], cbnd[:, cpg_t:],
                     jnp.int32((b0 + cpg_t) * tile), cand_c=cand_c,
                 )
             futs.append(
-                (_pack_meta(counts_d, bound_d, n_i), flat, ship_d, mc)
+                (_pack_meta(counts_d, tmax_d, bound_d, n_i), flat, ship_d,
+                 mc)
             )
         for s, (meta, flat, ship_d, mc) in enumerate(futs):
             base = s * seg_rows_t
             rows_here = max(0, min(seg_rows_t, n_left - base))
             if rows_here == 0:
                 continue
-            meta_h = np.asarray(meta).reshape(3, -1)
+            meta_h = np.asarray(meta).reshape(4, -1)
             counts_h = meta_h[0][:rows_here]
-            bound_h = meta_h[1].view(np.float32)[:rows_here]
-            # Conservative tile-max surrogate: the triangular pass counts
-            # candidates split between the row-side scan and the future
-            # buffer, so the exact per-tile maximum is not tracked; the
-            # total count is always an upper bound on it.
-            tmax_h = counts_h
+            tmax_h = meta_h[1][:rows_here]
+            bound_h = meta_h[2].view(np.float32)[:rows_here]
             mc_i = int(mc)
-            n_i_h = meta_h[2]
+            n_i_h = meta_h[3]
             total = int(n_i_h.sum())
             if total <= budget:
                 flat_h = _download_cols(flat, total, n_pp)

@@ -79,6 +79,9 @@ _SHIP_BUDGET_ROWS = int(os.environ.get("SG_TPU_SHIP_BUDGET", "16"))
 # Minimum escalated-ship size (slots) before the escalation download is
 # compacted too; tiny re-matches are cheaper shipped whole.
 _ROWS_COMPACT_MIN = 1 << 20
+# Minimum rows for a standalone escalation kt-bucket: the re-match pads to
+# whole device chunks, so a smaller bucket merges into the next wider one.
+_ESC_MIN_JOB_ROWS = 4096
 
 
 def fused_enabled() -> bool:
@@ -360,8 +363,11 @@ def _ub_topk_scan(
                 tbound, jnp.where(cnt > 2, vmax2, neg)
             )
             return (counts, tmax, tbound), (tv, tc)
-        if kt <= 8:
-            # Iterated max/argmax: a few cheap VPU passes, no sort.
+        if kt <= 32:
+            # Iterated max/argmax: cheap VPU passes (~20 ms per pass per
+            # 4096-chunk at 663k), no sort.  lax.top_k is a full per-tile
+            # sort costing ~1.4 s per chunk regardless of k (measured on
+            # v5e), so the crossover sits near kt ~ 64.
             vs = []
             cs = []
             cur = ubm
@@ -1301,15 +1307,46 @@ def adaptive_topn(
             # one escalation round settles everything (the drop-bound
             # re-check stays as the unconditional safety net).
             tm = tmax[idx]
-            for g in (idx[tm <= 8], idx[tm > 8]):
-                if not len(g):
+            if logger.isEnabledFor(logging.DEBUG):
+                logger.debug(
+                    "escalate tmax histogram: %s",
+                    dict(zip(*map(list, np.unique(np.minimum(tm, 33),
+                                                  return_counts=True)))),
+                )
+            # Pow2 kt buckets: the iterated extraction costs ~3 VPU passes
+            # per kt per tile, so re-matching a tmax<=4 row at kt=8 doubles
+            # its epilogue for nothing (and the bulk of unsafe rows sit at
+            # tmax 3-4; tmax<=2 rows are unsafe only via top-C truncation
+            # and re-run on the closed-form kt=2 path).  A bucket smaller
+            # than one device chunk costs a full chunk scan anyway, so it
+            # merges into the next (wider-kt) bucket: fewer dispatches, and
+            # the merged rows ride a scan that is already paid for.
+            raw = []
+            prev_tm = 0
+            for ktb in (2, 4, 8):
+                gb = idx[(tm > prev_tm) & (tm <= ktb)]
+                if len(gb):
+                    raw.append((gb, ktb))
+                prev_tm = ktb
+            g_hi = idx[tm > 8]
+            if len(g_hi):
+                raw.append((
+                    g_hi,
+                    min(kt_cap, max(8, _next_pow2(int(tmax[g_hi].max())))),
+                ))
+            pend = None
+            for i, (gb, kt_g) in enumerate(raw):
+                if pend is not None:
+                    gb = np.concatenate([pend, gb])
+                    pend = None
+                if len(gb) < _ESC_MIN_JOB_ROWS and i + 1 < len(raw):
+                    pend = gb
                     continue
-                kt_g = min(kt_cap, max(8, _next_pow2(int(tmax[g].max()))))
                 c_g = min(
                     max(c_cap, 1),
-                    max(_next_pow2(int(counts[g].max())), c),
+                    max(_next_pow2(int(counts[gb].max())), c),
                 )
-                jobs.append((g, c_g, kt_g))
+                jobs.append((gb, c_g, kt_g))
             last_bucketed = False
         last_round = (kt_big, c_full, int(unsafe.sum()))
         stats["rounds"] = escalations

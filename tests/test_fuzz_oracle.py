@@ -1,0 +1,105 @@
+"""Randomized conformance sweep: matcher vs the brute-force fp64 oracle.
+
+Each seed draws a corpus with planted duplicate clusters of random sizes
+(1..40 members -- straddling every escalation kt bucket, see
+ops/matcher.py adaptive_topn) plus unique filler, and a random config
+(threshold, top-n, self/cross join).  Complements the fixed-fixture oracle
+tests in test_matcher.py with breadth over config interactions.
+"""
+
+import numpy as np
+import pytest
+
+from string_grouper_tpu.config import StringGrouperConfig
+from string_grouper_tpu.corpus import TfidfEncoder
+from string_grouper_tpu.ops import topn_cosine_matches
+from string_grouper_tpu.ops.rescore import rescore_pairs_fp64
+
+from test_matcher import random_names
+
+
+def fuzz_oracle_pairs(left, right, min_similarity, max_n, is_self):
+    """Brute-force oracle with the SAME fp64 summation order as the
+    matcher's exact scorer (ascending vocabulary index, the reference's
+    CSR accumulation order).  A BLAS dense dot can differ in the last ulp,
+    which flips top-n ranking between exact ties -- planted clone clusters
+    make that observable, so the oracle must score pairs identically."""
+    b = left if is_self else right
+    n_l, n_r = left.n_rows, b.n_rows
+    rr, cc = np.divmod(np.arange(n_l * n_r), n_r)
+    sims = rescore_pairs_fp64(left, b, rr, cc).reshape(n_l, n_r)
+    shares = sims > 0  # zero-sim pairs share no n-gram (tf-idf values > 0)
+    keep = shares & (sims >= min_similarity)
+    pairs = {}
+    for i in range(n_l):
+        cols = np.nonzero(keep[i])[0]
+        order = sorted(cols, key=lambda c: (-sims[i, c], c))[:max_n]
+        for c in order:
+            pairs[(i, c)] = sims[i, c]
+    if is_self:
+        sym = {}
+        for (i, c), v in pairs.items():
+            if i != c:
+                sym[(i, c)] = v
+                sym[(c, i)] = v
+        for i in range(n_l):
+            sym[(i, i)] = 1.0
+        pairs = sym
+    return pairs
+
+
+def planted_corpus(rng):
+    """Unique filler + duplicate clusters with sizes across kt buckets."""
+    strings = random_names(int(rng.integers(40, 200)), seed=int(rng.integers(1 << 30)))
+    n_clusters = int(rng.integers(1, 6))
+    for k in range(n_clusters):
+        size = int(rng.choice([2, 3, 4, 5, 9, 17, 40]))
+        text = f"planted cluster {k} {'x' * int(rng.integers(1, 6))} corp"
+        strings += [text] * size
+    perm = rng.permutation(len(strings))
+    return [strings[i] for i in perm]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_self_join(seed):
+    rng = np.random.default_rng(seed)
+    strings = planted_corpus(rng)
+    min_similarity = float(rng.choice([-1.0, 0.0, 0.15, 0.5, 0.8, 0.95]))
+    max_n = int(rng.choice([1, 2, 3, 7, 20, 64]))
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+    got = topn_cosine_matches(ell, None, min_similarity, max_n)
+    expected = fuzz_oracle_pairs(ell, None, min_similarity, max_n, True)
+    got_pairs = {
+        (int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)
+    }
+    assert set(got_pairs) == set(expected), (
+        f"seed={seed} thr={min_similarity} max_n={max_n}: "
+        f"{len(set(expected) - set(got_pairs))} missing, "
+        f"{len(set(got_pairs) - set(expected))} extra"
+    )
+    ks = sorted(expected)
+    np.testing.assert_allclose(
+        [got_pairs[k] for k in ks], [expected[k] for k in ks], rtol=1e-12
+    )
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_cross_join(seed):
+    rng = np.random.default_rng(1000 + seed)
+    master = planted_corpus(rng)
+    dupes = planted_corpus(rng)
+    min_similarity = float(rng.choice([0.0, 0.3, 0.7]))
+    max_n = int(rng.choice([1, 2, 5, 20]))
+    enc = TfidfEncoder(StringGrouperConfig())
+    m, d = enc.fit_transform_pair(master, dupes)
+    got = topn_cosine_matches(m, d, min_similarity, max_n)
+    expected = fuzz_oracle_pairs(m, d, min_similarity, max_n, False)
+    got_pairs = {
+        (int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)
+    }
+    assert set(got_pairs) == set(expected)
+    ks = sorted(expected)
+    np.testing.assert_allclose(
+        [got_pairs[k] for k in ks], [expected[k] for k in ks], rtol=1e-12
+    )

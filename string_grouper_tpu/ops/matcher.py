@@ -39,6 +39,7 @@ float64.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple
@@ -512,15 +513,30 @@ def _unpack20(words: np.ndarray, count: int) -> np.ndarray:
     return np.stack(parts, axis=1).reshape(-1)[:count].astype(np.int64)
 
 
-def _download_cols(flat: jax.Array, total: int, n_right_p: int) -> np.ndarray:
-    """Download a compacted column stream, bit-packed when ids fit 20 bits
-    (columns are < the padded corpus size)."""
+def _ship_cols(flat: jax.Array, n_right_p: int) -> jax.Array:
+    """Device-side wire form of a compacted column stream: 20-bit packed
+    when ids fit (columns are < the padded corpus size).
+
+    Dispatched EAGERLY with its segment's compute: a pack dispatched at
+    download time would queue behind every later segment's matmuls (the
+    device executes in enqueue order), serializing the stream -- the whole
+    padded buffer ships instead of the valid prefix, ~35% more bytes for
+    actual download/compute overlap."""
+    if n_right_p <= (1 << 20):
+        return _pack20(flat)
+    return flat
+
+
+def _download_cols(shipped: np.ndarray | jax.Array, total: int,
+                   n_right_p: int) -> np.ndarray:
+    """Host decode of ``_ship_cols``: download (if still on device) and
+    unpack the first ``total`` ids."""
     if total == 0:
         return np.zeros(0, dtype=np.int64)
+    host = np.asarray(shipped)
     if n_right_p <= (1 << 20):
-        nw = -(-total // 8) * 5
-        return _unpack20(np.asarray(_pack20(flat)[:nw]), total)
-    return np.asarray(flat)[:total].astype(np.int64)
+        return _unpack20(host, total)
+    return host[:total].astype(np.int64)
 
 
 @jax.jit
@@ -536,6 +552,26 @@ def _pack_meta(*parts: jax.Array) -> jax.Array:
             x = jax.lax.bitcast_convert_type(x, jnp.int32)
         out.append(x.astype(jnp.int32))
     return jnp.concatenate(out)
+
+
+# Single-worker pool so segment downloads (a) stay ordered and (b) overlap
+# the consumer's host-side exact scoring of earlier segments -- the device
+# link and the host cores are different resources, and the streamed scan
+# otherwise alternates between them serially.
+_DL_POOL = ThreadPoolExecutor(max_workers=1)
+
+
+def _fetch_segment(meta, flat, mc, budget, n_right_p, seg_rows):
+    """Download one segment's metadata (+ compacted candidate stream when
+    it fits the budget) -- runs on the prefetch worker thread."""
+    meta_h = np.asarray(meta).reshape(-1, seg_rows)
+    mc_i = int(mc) if mc is not None else None
+    flat_h = total = None
+    if flat is not None:
+        total = int(meta_h[-1].sum())  # n_i is packed last
+        if total <= budget:
+            flat_h = _download_cols(flat, total, n_right_p)
+    return meta_h, flat_h, total, mc_i
 
 
 @partial(jax.jit, static_argnames=("cand_c", "k_tile", "use_kernel"))
@@ -882,6 +918,7 @@ def _phase1_single(
                 fv, fc, fcounts, ftmax, fbound, jnp.int32(b0 * tile),
                 cand_c=cand_c, budget=budget,
             )
+            flat = _ship_cols(flat, n_pp)
             if b0 + cpg_t < nt_p:
                 fv, fc, fcounts, ftmax, fbound = _merge_future(
                     fv, fc, fcounts, ftmax, fbound,
@@ -893,20 +930,23 @@ def _phase1_single(
                 (_pack_meta(counts_d, tmax_d, bound_d, n_i), flat, ship_d,
                  mc)
             )
+        fetches = [
+            _DL_POOL.submit(
+                _fetch_segment, meta, flat, mc, budget, n_pp, seg_rows_t
+            )
+            for (meta, flat, ship_d, mc) in futs
+        ]
         for s, (meta, flat, ship_d, mc) in enumerate(futs):
             base = s * seg_rows_t
             rows_here = max(0, min(seg_rows_t, n_left - base))
             if rows_here == 0:
                 continue
-            meta_h = np.asarray(meta).reshape(4, -1)
+            meta_h, flat_h, total, mc_i = fetches[s].result()
             counts_h = meta_h[0][:rows_here]
             tmax_h = meta_h[1][:rows_here]
             bound_h = meta_h[2].view(np.float32)[:rows_here]
-            mc_i = int(mc)
             n_i_h = meta_h[3]
-            total = int(n_i_h.sum())
-            if total <= budget:
-                flat_h = _download_cols(flat, total, n_pp)
+            if flat_h is not None:
                 rows_l = np.repeat(
                     np.arange(seg_rows_t, dtype=np.int64), n_i_h
                 )
@@ -958,36 +998,40 @@ def _phase1_single(
             flat = None
             if do_compact:
                 flat, n_i = _compact_cols(cols2, budget)
+                flat = _ship_cols(flat, n_right_p)
                 meta = _pack_meta(counts, tmax, bound, n_i)
             else:
                 meta = _pack_meta(counts, tmax, bound)
             futs.append((meta, cols2, flat, max_cnt))
+        fetches = [
+            _DL_POOL.submit(
+                _fetch_segment, meta, flat, max_cnt, budget, n_right_p,
+                seg_rows,
+            )
+            for (meta, cols2, flat, max_cnt) in futs
+        ]
         for g, (meta, cols2, flat, max_cnt) in enumerate(futs):
             base = g * seg_rows
             rows_here = max(0, min(seg_rows, n_left - base))
             if rows_here == 0:
                 continue
-            meta_h = np.asarray(meta).reshape(-1, seg_rows)
+            meta_h, flat_h, total, mc = fetches[g].result()
             counts_h = meta_h[0][:rows_here]
             tmax_h = meta_h[1][:rows_here]
             bound_h = meta_h[2].view(np.float32)[:rows_here]
-            mc = int(max_cnt)
-            if flat is not None:
+            if flat_h is not None:
                 n_i_h = meta_h[3]
-                total = int(n_i_h.sum())
-                if total <= budget:
-                    flat_h = _download_cols(flat, total, n_right_p)
-                    rows_l = np.repeat(
-                        np.arange(seg_rows, dtype=np.int64), n_i_h
-                    )
-                    # Padded left rows score 0 < thr (none qualify), but
-                    # keep the guard cheap and unconditional.
-                    keep = (rows_l < rows_here) & (flat_h < n_right)
-                    yield (
-                        base + rows_l[keep], flat_h[keep],
-                        base, rows_here, bound_h, counts_h, tmax_h, mc,
-                    )
-                    continue
+                rows_l = np.repeat(
+                    np.arange(seg_rows, dtype=np.int64), n_i_h
+                )
+                # Padded left rows score 0 < thr (none qualify), but
+                # keep the guard cheap and unconditional.
+                keep = (rows_l < rows_here) & (flat_h < n_right)
+                yield (
+                    base + rows_l[keep], flat_h[keep],
+                    base, rows_here, bound_h, counts_h, tmax_h, mc,
+                )
+                continue
             cols_h = np.asarray(cols2)[:rows_here]
             r_g, c_g = _pairs_from_ship(
                 cols_h, n_right,
@@ -998,14 +1042,19 @@ def _phase1_single(
     a_flat = a_hash_chunks.reshape(-1, hash_dim)
 
     def run_rows(row_idx: np.ndarray, thr_eff, cand_c, k_tile,
-                 budget_hint: Optional[int] = None):
+                 budget_hint: Optional[int] = None, defer: bool = False):
         """Phase 1 restricted to the given left rows (hot-row escalation):
         device-gathers those rows' hash vectors and matches them at a larger
         candidate width, so one skewed row never inflates the whole
         corpus's download.  Returns ``(rows_pos, cols, bound)`` where
         rows_pos indexes into ``row_idx``.  ``budget_hint`` (an upper bound
         on the total valid candidates, from the driver's qualified counts)
-        enables compacting the escalated download too."""
+        enables compacting the escalated download too.
+
+        ``defer=True`` returns a zero-arg ``finish()`` closure instead:
+        device work is dispatched immediately, downloads happen inside
+        ``finish`` -- so the driver can dispatch every escalation bucket
+        before blocking on the first one's transfer."""
         m = len(row_idx)
         m_p = -(-m // chunk) * chunk
         idx = np.zeros(m_p, dtype=np.int32)
@@ -1025,7 +1074,7 @@ def _phase1_single(
         )
         cols2 = cols.reshape(-1, cols.shape[-1])
         w = cols2.shape[-1]
-        bound_h = None
+        flat = meta = None
         if (
             thr_eff > 0
             and budget_hint is not None
@@ -1034,7 +1083,13 @@ def _phase1_single(
             budget = _next_pow2(budget_hint + 8)
             if budget < m_p * w:
                 flat, n_i = _compact_cols(cols2, budget)
-                meta_h = np.asarray(_pack_meta(ub_last, n_i)).reshape(2, -1)
+                flat = _ship_cols(flat, n_right_p)
+                meta = _pack_meta(ub_last, n_i)
+
+        def finish():
+            bound_h = None
+            if meta is not None:
+                meta_h = np.asarray(meta).reshape(2, -1)
                 bound_h = meta_h[0].view(np.float32)[:m]
                 n_i_h = meta_h[1]
                 total = int(n_i_h.sum())
@@ -1045,11 +1100,13 @@ def _phase1_single(
                     )
                     keep = (rows_l < m) & (flat_h < n_right)
                     return rows_l[keep], flat_h[keep], bound_h
-        if bound_h is None:
-            bound_h = np.asarray(ub_last).reshape(-1)[:m]
-        cols_h = np.asarray(cols2)[:m]
-        rows_pos, cols_f = _pairs_from_ship(cols_h, n_right)
-        return rows_pos, cols_f, bound_h
+            if bound_h is None:
+                bound_h = np.asarray(ub_last).reshape(-1)[:m]
+            cols_h = np.asarray(cols2)[:m]
+            rows_pos, cols_f = _pairs_from_ship(cols_h, n_right)
+            return rows_pos, cols_f, bound_h
+
+        return finish if defer else finish()
 
     n_tiles = n_right_p // tile
     return run_stream, run_rows, n_right_p, tile, n_tiles
@@ -1352,16 +1409,23 @@ def adaptive_topn(
         stats["rounds"] = escalations
         touched = np.zeros(n_left, dtype=bool)
         sub_rows_parts, sub_cols_parts = [], []
+        finishers = []
+        t0 = _time.perf_counter()
         for g, c_big, kt_use in jobs:
             logger.debug(
                 "escalate %d rows to C=%d k_tile=%d (round %d)",
                 len(g), c_big, kt_use, escalations,
             )
-            t0 = _time.perf_counter()
-            rows_pos, g_cols, g_bound = phase1_run_rows(
+            # Dispatch every bucket's device work before blocking on any
+            # download -- bucket k+1's matmuls overlap bucket k's transfer.
+            finishers.append(phase1_run_rows(
                 g, effective_threshold(min_similarity), c_big, kt_use,
-                budget_hint=int(counts[g].sum()),
-            )
+                budget_hint=int(counts[g].sum()), defer=True,
+            ))
+        stats["esc_wait"] += _time.perf_counter() - t0
+        for (g, c_big, kt_use), finish in zip(jobs, finishers):
+            t0 = _time.perf_counter()
+            rows_pos, g_cols, g_bound = finish()
             stats["esc_wait"] += _time.perf_counter() - t0
             sub_rows_parts.append(g.astype(np.int64)[rows_pos])
             sub_cols_parts.append(g_cols)

@@ -44,14 +44,18 @@ from jax import shard_map
 
 from ..corpus.tfidf import EllMatrix
 from ..ops.matcher import (
+    _DL_POOL,
     _ROWS_COMPACT_MIN,
     _SHIP_BUDGET_ROWS,
     MatchPairs,
     _compact_cols,
+    _download_cols,
+    _fetch_segment,
     _next_pow2,
     _pad_width,
     _pairs_from_ship,
     _pack_meta,
+    _ship_cols,
     adaptive_topn,
     apply_self_join_fixups,
     build_hash_matrix,
@@ -361,34 +365,38 @@ def _phase1_distributed(
             flat = None
             if do_compact:
                 flat, n_i = _sort_compact(cols2, budget)
+                flat = _ship_cols(flat, n_right_p)
                 meta = _pack_meta(counts, tmax, bound, n_i)
             else:
                 meta = _pack_meta(counts, tmax, bound)
             futs.append((meta, cols2, flat, max_cnt))
+        fetches = [
+            _DL_POOL.submit(
+                _fetch_segment, meta, flat, max_cnt, budget, n_right_p,
+                seg_rows,
+            )
+            for (meta, cols2, flat, max_cnt) in futs
+        ]
         for g, (meta, cols2, flat, max_cnt) in enumerate(futs):
             base = g * seg_rows
             rows_here = max(0, min(seg_rows, n_left - base))
             if rows_here == 0:
                 continue
-            meta_h = np.asarray(meta).reshape(-1, seg_rows)
+            meta_h, flat_h, total, mc = fetches[g].result()
             counts_h = meta_h[0][:rows_here]
             tmax_h = meta_h[1][:rows_here]
             bound_h = meta_h[2].view(np.float32)[:rows_here]
-            mc = int(max_cnt)
-            if flat is not None:
+            if flat_h is not None:
                 n_i_h = meta_h[3]
-                total = int(n_i_h.sum())
-                if total <= budget:
-                    flat_h = np.asarray(flat)[:total].astype(np.int64)
-                    rows_l = np.repeat(
-                        np.arange(seg_rows, dtype=np.int64), n_i_h
-                    )
-                    keep = (rows_l < rows_here) & (flat_h < n_right)
-                    yield (
-                        base + rows_l[keep], flat_h[keep],
-                        base, rows_here, bound_h, counts_h, tmax_h, mc,
-                    )
-                    continue
+                rows_l = np.repeat(
+                    np.arange(seg_rows, dtype=np.int64), n_i_h
+                )
+                keep = (rows_l < rows_here) & (flat_h < n_right)
+                yield (
+                    base + rows_l[keep], flat_h[keep],
+                    base, rows_here, bound_h, counts_h, tmax_h, mc,
+                )
+                continue
             cols_h = np.asarray(cols2)[:rows_here]
             r_g, c_g = _pairs_from_ship(
                 cols_h, n_right,
@@ -399,11 +407,13 @@ def _phase1_distributed(
     a_flat = a_hash_chunks.reshape(-1, hash_dim)
 
     def run_rows(row_idx: np.ndarray, thr_eff, cand_c, k_tile,
-                 budget_hint: Optional[int] = None):
+                 budget_hint: Optional[int] = None, defer: bool = False):
         """Hot-row escalation under the mesh: device-gather the unsafe
         rows' hash vectors and re-match only them at larger per-shard
         widths -- the mesh analog of matcher.py's ``run_rows``, so one
-        skewed row never forces a full-corpus re-match."""
+        skewed row never forces a full-corpus re-match.  ``defer=True``
+        returns a ``finish()`` closure (same contract as matcher.py) so
+        the driver dispatches every bucket before blocking on downloads."""
         m = len(row_idx)
         m_p = -(-m // sc) * sc
         idx = np.zeros(m_p, dtype=np.int32)
@@ -418,7 +428,7 @@ def _phase1_distributed(
         )
         cols2 = cols.reshape(-1, cols.shape[-1])
         w = cols2.shape[-1]
-        bound_h = None
+        flat = meta = None
         if (
             thr_eff > 0
             and budget_hint is not None
@@ -429,20 +439,28 @@ def _phase1_distributed(
             budget = _next_pow2(budget_hint * mp + 8)
             if budget < m_p * w:
                 flat, n_i = _sort_compact(cols2, budget)
-                meta_h = np.asarray(_pack_meta(ub_last, n_i)).reshape(2, -1)
+                flat = _ship_cols(flat, n_right_p)
+                meta = _pack_meta(ub_last, n_i)
+
+        def finish():
+            bound_h = None
+            if meta is not None:
+                meta_h = np.asarray(meta).reshape(2, -1)
                 bound_h = meta_h[0].view(np.float32)[:m]
                 n_i_h = meta_h[1]
                 total = int(n_i_h.sum())
                 if total <= budget:
-                    flat_h = np.asarray(flat)[:total].astype(np.int64)
+                    flat_h = _download_cols(flat, total, n_right_p)
                     rows_l = np.repeat(np.arange(m_p, dtype=np.int64), n_i_h)
                     keep = (rows_l < m) & (flat_h < n_right)
                     return rows_l[keep], flat_h[keep], bound_h
-        if bound_h is None:
-            bound_h = np.asarray(ub_last).reshape(-1)[:m]
-        cols_h = np.asarray(cols2)[:m]
-        rows_pos, cols_f = _pairs_from_ship(cols_h, n_right)
-        return rows_pos, cols_f, bound_h
+            if bound_h is None:
+                bound_h = np.asarray(ub_last).reshape(-1)[:m]
+            cols_h = np.asarray(cols2)[:m]
+            rows_pos, cols_f = _pairs_from_ship(cols_h, n_right)
+            return rows_pos, cols_f, bound_h
+
+        return finish if defer else finish()
 
     return run_stream, run_rows, n_loc, tile, n_tiles_loc
 

@@ -563,15 +563,86 @@ _DL_POOL = ThreadPoolExecutor(max_workers=1)
 
 def _fetch_segment(meta, flat, mc, budget, n_right_p, seg_rows):
     """Download one segment's metadata (+ compacted candidate stream when
-    it fits the budget) -- runs on the prefetch worker thread."""
+    it fits the budget) -- runs on the prefetch worker thread.  A ``None``
+    stream means the segment overflowed the budget and the consumer must
+    fall back to the full candidate matrix."""
     meta_h = np.asarray(meta).reshape(-1, seg_rows)
     mc_i = int(mc) if mc is not None else None
-    flat_h = total = None
+    flat_h = None
     if flat is not None:
         total = int(meta_h[-1].sum())  # n_i is packed last
         if total <= budget:
             flat_h = _download_cols(flat, total, n_right_p)
-    return meta_h, flat_h, total, mc_i
+    return meta_h, flat_h, mc_i
+
+
+def _consume_stream(futs, budget, n_right_p, seg_rows, n_left, n_right):
+    """Shared consumer of a dispatched segment list (single-chip and mesh
+    streamed scans): prefetch every segment's downloads on the worker
+    thread, then yield per-segment candidate pairs in order.  Abandoning
+    the generator (consumer error) cancels not-yet-started prefetches so
+    the worker does not keep pulling dead segments over the slow link."""
+    fetches = [
+        _DL_POOL.submit(
+            _fetch_segment, meta, flat, max_cnt, budget, n_right_p, seg_rows
+        )
+        for (meta, cols2, flat, max_cnt) in futs
+    ]
+    try:
+        for g, (meta, cols2, flat, max_cnt) in enumerate(futs):
+            base = g * seg_rows
+            rows_here = max(0, min(seg_rows, n_left - base))
+            if rows_here == 0:
+                continue
+            meta_h, flat_h, mc = fetches[g].result()
+            counts_h = meta_h[0][:rows_here]
+            tmax_h = meta_h[1][:rows_here]
+            bound_h = meta_h[2].view(np.float32)[:rows_here]
+            if flat_h is not None:
+                n_i_h = meta_h[3]
+                rows_l = np.repeat(
+                    np.arange(seg_rows, dtype=np.int64), n_i_h
+                )
+                # Padded left rows score 0 < thr (none qualify), but keep
+                # the guard cheap and unconditional.
+                keep = (rows_l < rows_here) & (flat_h < n_right)
+                yield (
+                    base + rows_l[keep], flat_h[keep],
+                    base, rows_here, bound_h, counts_h, tmax_h, mc,
+                )
+                continue
+            cols_h = np.asarray(cols2)[:rows_here]
+            r_g, c_g = _pairs_from_ship(
+                cols_h, n_right,
+                row_ids=base + np.arange(rows_here, dtype=np.int64),
+            )
+            yield (r_g, c_g, base, rows_here, bound_h, counts_h, tmax_h, mc)
+    finally:
+        for f in fetches:
+            f.cancel()
+
+
+def _finish_rows(meta, flat, ub_last, cols2, m, m_p, budget, n_right_p,
+                 n_right):
+    """Download half of a (possibly deferred) hot-row re-match: decode the
+    compacted stream when it fit the budget, else ship the full candidate
+    matrix.  Shared by the single-chip and mesh ``run_rows``."""
+    bound_h = None
+    if meta is not None:
+        meta_h = np.asarray(meta).reshape(2, -1)
+        bound_h = meta_h[0].view(np.float32)[:m]
+        n_i_h = meta_h[1]
+        total = int(n_i_h.sum())
+        if total <= budget:
+            flat_h = _download_cols(flat, total, n_right_p)
+            rows_l = np.repeat(np.arange(m_p, dtype=np.int64), n_i_h)
+            keep = (rows_l < m) & (flat_h < n_right)
+            return rows_l[keep], flat_h[keep], bound_h
+    if bound_h is None:
+        bound_h = np.asarray(ub_last).reshape(-1)[:m]
+    cols_h = np.asarray(cols2)[:m]
+    rows_pos, cols_f = _pairs_from_ship(cols_h, n_right)
+    return rows_pos, cols_f, bound_h
 
 
 @partial(jax.jit, static_argnames=("cand_c", "k_tile", "use_kernel"))
@@ -927,41 +998,12 @@ def _phase1_single(
                     jnp.int32((b0 + cpg_t) * tile), cand_c=cand_c,
                 )
             futs.append(
-                (_pack_meta(counts_d, tmax_d, bound_d, n_i), flat, ship_d,
+                (_pack_meta(counts_d, tmax_d, bound_d, n_i), ship_d, flat,
                  mc)
             )
-        fetches = [
-            _DL_POOL.submit(
-                _fetch_segment, meta, flat, mc, budget, n_pp, seg_rows_t
-            )
-            for (meta, flat, ship_d, mc) in futs
-        ]
-        for s, (meta, flat, ship_d, mc) in enumerate(futs):
-            base = s * seg_rows_t
-            rows_here = max(0, min(seg_rows_t, n_left - base))
-            if rows_here == 0:
-                continue
-            meta_h, flat_h, total, mc_i = fetches[s].result()
-            counts_h = meta_h[0][:rows_here]
-            tmax_h = meta_h[1][:rows_here]
-            bound_h = meta_h[2].view(np.float32)[:rows_here]
-            n_i_h = meta_h[3]
-            if flat_h is not None:
-                rows_l = np.repeat(
-                    np.arange(seg_rows_t, dtype=np.int64), n_i_h
-                )
-                keep = (rows_l < rows_here) & (flat_h < n_right)
-                yield (
-                    base + rows_l[keep], flat_h[keep],
-                    base, rows_here, bound_h, counts_h, tmax_h, mc_i,
-                )
-                continue
-            cols_h = np.asarray(ship_d)[:rows_here]
-            r_g, c_g = _pairs_from_ship(
-                cols_h, n_right,
-                row_ids=base + np.arange(rows_here, dtype=np.int64),
-            )
-            yield (r_g, c_g, base, rows_here, bound_h, counts_h, tmax_h, mc_i)
+        yield from _consume_stream(
+            futs, budget, n_pp, seg_rows_t, n_left, n_right
+        )
 
     def run_stream(thr_eff, cand_c, k_tile):
         """Yield ``(rows, cols, base, rows_here, bound, counts, tmax,
@@ -1003,41 +1045,9 @@ def _phase1_single(
             else:
                 meta = _pack_meta(counts, tmax, bound)
             futs.append((meta, cols2, flat, max_cnt))
-        fetches = [
-            _DL_POOL.submit(
-                _fetch_segment, meta, flat, max_cnt, budget, n_right_p,
-                seg_rows,
-            )
-            for (meta, cols2, flat, max_cnt) in futs
-        ]
-        for g, (meta, cols2, flat, max_cnt) in enumerate(futs):
-            base = g * seg_rows
-            rows_here = max(0, min(seg_rows, n_left - base))
-            if rows_here == 0:
-                continue
-            meta_h, flat_h, total, mc = fetches[g].result()
-            counts_h = meta_h[0][:rows_here]
-            tmax_h = meta_h[1][:rows_here]
-            bound_h = meta_h[2].view(np.float32)[:rows_here]
-            if flat_h is not None:
-                n_i_h = meta_h[3]
-                rows_l = np.repeat(
-                    np.arange(seg_rows, dtype=np.int64), n_i_h
-                )
-                # Padded left rows score 0 < thr (none qualify), but
-                # keep the guard cheap and unconditional.
-                keep = (rows_l < rows_here) & (flat_h < n_right)
-                yield (
-                    base + rows_l[keep], flat_h[keep],
-                    base, rows_here, bound_h, counts_h, tmax_h, mc,
-                )
-                continue
-            cols_h = np.asarray(cols2)[:rows_here]
-            r_g, c_g = _pairs_from_ship(
-                cols_h, n_right,
-                row_ids=base + np.arange(rows_here, dtype=np.int64),
-            )
-            yield (r_g, c_g, base, rows_here, bound_h, counts_h, tmax_h, mc)
+        yield from _consume_stream(
+            futs, budget, n_right_p, seg_rows, n_left, n_right
+        )
 
     a_flat = a_hash_chunks.reshape(-1, hash_dim)
 
@@ -1075,36 +1085,25 @@ def _phase1_single(
         cols2 = cols.reshape(-1, cols.shape[-1])
         w = cols2.shape[-1]
         flat = meta = None
+        budget = 0
         if (
             thr_eff > 0
             and budget_hint is not None
             and m_p * w > _ROWS_COMPACT_MIN
         ):
             budget = _next_pow2(budget_hint + 8)
-            if budget < m_p * w:
+            if budget >= m_p * w:
+                flat = meta = None
+            else:
                 flat, n_i = _compact_cols(cols2, budget)
                 flat = _ship_cols(flat, n_right_p)
                 meta = _pack_meta(ub_last, n_i)
 
         def finish():
-            bound_h = None
-            if meta is not None:
-                meta_h = np.asarray(meta).reshape(2, -1)
-                bound_h = meta_h[0].view(np.float32)[:m]
-                n_i_h = meta_h[1]
-                total = int(n_i_h.sum())
-                if total <= budget:
-                    flat_h = _download_cols(flat, total, n_right_p)
-                    rows_l = np.repeat(
-                        np.arange(m_p, dtype=np.int64), n_i_h
-                    )
-                    keep = (rows_l < m) & (flat_h < n_right)
-                    return rows_l[keep], flat_h[keep], bound_h
-            if bound_h is None:
-                bound_h = np.asarray(ub_last).reshape(-1)[:m]
-            cols_h = np.asarray(cols2)[:m]
-            rows_pos, cols_f = _pairs_from_ship(cols_h, n_right)
-            return rows_pos, cols_f, bound_h
+            return _finish_rows(
+                meta, flat, ub_last, cols2, m, m_p, budget, n_right_p,
+                n_right,
+            )
 
         return finish if defer else finish()
 
@@ -1409,21 +1408,8 @@ def adaptive_topn(
         stats["rounds"] = escalations
         touched = np.zeros(n_left, dtype=bool)
         sub_rows_parts, sub_cols_parts = [], []
-        finishers = []
-        t0 = _time.perf_counter()
-        for g, c_big, kt_use in jobs:
-            logger.debug(
-                "escalate %d rows to C=%d k_tile=%d (round %d)",
-                len(g), c_big, kt_use, escalations,
-            )
-            # Dispatch every bucket's device work before blocking on any
-            # download -- bucket k+1's matmuls overlap bucket k's transfer.
-            finishers.append(phase1_run_rows(
-                g, effective_threshold(min_similarity), c_big, kt_use,
-                budget_hint=int(counts[g].sum()), defer=True,
-            ))
-        stats["esc_wait"] += _time.perf_counter() - t0
-        for (g, c_big, kt_use), finish in zip(jobs, finishers):
+
+        def finish_one(g, finish):
             t0 = _time.perf_counter()
             rows_pos, g_cols, g_bound = finish()
             stats["esc_wait"] += _time.perf_counter() - t0
@@ -1431,6 +1417,28 @@ def adaptive_topn(
             sub_cols_parts.append(g_cols)
             bound[g] = g_bound
             touched[g] = True
+
+        # Sliding window of 2 deferred buckets: bucket k+1's device work
+        # overlaps bucket k's download, while at most two buckets' candidate
+        # buffers coexist on the device (an unbounded window would turn
+        # peak HBM from max-over-buckets into sum-over-buckets).
+        pending = []
+        for g, c_big, kt_use in jobs:
+            logger.debug(
+                "escalate %d rows to C=%d k_tile=%d (round %d)",
+                len(g), c_big, kt_use, escalations,
+            )
+            t0 = _time.perf_counter()
+            fin = phase1_run_rows(
+                g, effective_threshold(min_similarity), c_big, kt_use,
+                budget_hint=int(counts[g].sum()), defer=True,
+            )
+            stats["esc_wait"] += _time.perf_counter() - t0
+            pending.append((g, fin))
+            if len(pending) == 2:
+                finish_one(*pending.pop(0))
+        for g, fin in pending:
+            finish_one(g, fin)
         idx = np.flatnonzero(touched)
         sub_rows = np.concatenate(sub_rows_parts)
         sub_cols_f = np.concatenate(sub_cols_parts)

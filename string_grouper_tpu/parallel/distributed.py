@@ -44,13 +44,12 @@ from jax import shard_map
 
 from ..corpus.tfidf import EllMatrix
 from ..ops.matcher import (
-    _DL_POOL,
     _ROWS_COMPACT_MIN,
     _SHIP_BUDGET_ROWS,
     MatchPairs,
     _compact_cols,
-    _download_cols,
-    _fetch_segment,
+    _consume_stream,
+    _finish_rows,
     _next_pow2,
     _pad_width,
     _pairs_from_ship,
@@ -370,39 +369,9 @@ def _phase1_distributed(
             else:
                 meta = _pack_meta(counts, tmax, bound)
             futs.append((meta, cols2, flat, max_cnt))
-        fetches = [
-            _DL_POOL.submit(
-                _fetch_segment, meta, flat, max_cnt, budget, n_right_p,
-                seg_rows,
-            )
-            for (meta, cols2, flat, max_cnt) in futs
-        ]
-        for g, (meta, cols2, flat, max_cnt) in enumerate(futs):
-            base = g * seg_rows
-            rows_here = max(0, min(seg_rows, n_left - base))
-            if rows_here == 0:
-                continue
-            meta_h, flat_h, total, mc = fetches[g].result()
-            counts_h = meta_h[0][:rows_here]
-            tmax_h = meta_h[1][:rows_here]
-            bound_h = meta_h[2].view(np.float32)[:rows_here]
-            if flat_h is not None:
-                n_i_h = meta_h[3]
-                rows_l = np.repeat(
-                    np.arange(seg_rows, dtype=np.int64), n_i_h
-                )
-                keep = (rows_l < rows_here) & (flat_h < n_right)
-                yield (
-                    base + rows_l[keep], flat_h[keep],
-                    base, rows_here, bound_h, counts_h, tmax_h, mc,
-                )
-                continue
-            cols_h = np.asarray(cols2)[:rows_here]
-            r_g, c_g = _pairs_from_ship(
-                cols_h, n_right,
-                row_ids=base + np.arange(rows_here, dtype=np.int64),
-            )
-            yield (r_g, c_g, base, rows_here, bound_h, counts_h, tmax_h, mc)
+        yield from _consume_stream(
+            futs, budget, n_right_p, seg_rows, n_left, n_right
+        )
 
     a_flat = a_hash_chunks.reshape(-1, hash_dim)
 
@@ -429,6 +398,7 @@ def _phase1_distributed(
         cols2 = cols.reshape(-1, cols.shape[-1])
         w = cols2.shape[-1]
         flat = meta = None
+        budget = 0
         if (
             thr_eff > 0
             and budget_hint is not None
@@ -437,28 +407,18 @@ def _phase1_distributed(
             # counts are per-shard maxima, so the total valid count can
             # reach mp times the hint; overflow still falls back safely.
             budget = _next_pow2(budget_hint * mp + 8)
-            if budget < m_p * w:
+            if budget >= m_p * w:
+                flat = meta = None
+            else:
                 flat, n_i = _sort_compact(cols2, budget)
                 flat = _ship_cols(flat, n_right_p)
                 meta = _pack_meta(ub_last, n_i)
 
         def finish():
-            bound_h = None
-            if meta is not None:
-                meta_h = np.asarray(meta).reshape(2, -1)
-                bound_h = meta_h[0].view(np.float32)[:m]
-                n_i_h = meta_h[1]
-                total = int(n_i_h.sum())
-                if total <= budget:
-                    flat_h = _download_cols(flat, total, n_right_p)
-                    rows_l = np.repeat(np.arange(m_p, dtype=np.int64), n_i_h)
-                    keep = (rows_l < m) & (flat_h < n_right)
-                    return rows_l[keep], flat_h[keep], bound_h
-            if bound_h is None:
-                bound_h = np.asarray(ub_last).reshape(-1)[:m]
-            cols_h = np.asarray(cols2)[:m]
-            rows_pos, cols_f = _pairs_from_ship(cols_h, n_right)
-            return rows_pos, cols_f, bound_h
+            return _finish_rows(
+                meta, flat, ub_last, cols2, m, m_p, budget, n_right_p,
+                n_right,
+            )
 
         return finish if defer else finish()
 

@@ -44,8 +44,12 @@ GROUP_REP_PREFIX: str = "group_rep_"
 # --- TPU-specific defaults ----------------------------------------------------
 # Feature-hash dimension for the phase-1 upper-bound filter matmul.  Must be a
 # power of two.  Larger values tighten the upper bound (fewer false-positive
-# candidates) at the cost of more MXU FLOPs per pair.
-DEFAULT_HASH_DIM: int = 1024
+# candidates) at the cost of more MXU FLOPs per pair.  512 measured faster
+# end-to-end at 663k than 1024 once escalation was kt-bucketed and downloads
+# streamed (phase-1 wall 5.6 s vs 8-11 s; the extra ~3.5M false candidates
+# cost ~+0.5 s rescore and ~+1.1 s escalation, less than the matmul saving).
+# Results are exact for any value.
+DEFAULT_HASH_DIM: int = 512
 # Legacy knob (earlier designs shipped a slack margin of candidates); the
 # current matcher's adaptive driver is always complete, so this is a no-op
 # kept for API stability.

@@ -1566,7 +1566,7 @@ def topn_cosine_matches(
     max_n_matches: Optional[int],
     *,
     force_symmetries: bool = True,
-    hash_dim: int = 1024,
+    hash_dim: int = 512,
     topn_slack: int = 8,  # legacy knob; selection is now always complete
     left_chunk: int = 4096,
     right_tile: int = 4096,

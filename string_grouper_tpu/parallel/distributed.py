@@ -433,7 +433,7 @@ def distributed_topn_cosine_matches(
     mesh: Mesh,
     *,
     force_symmetries: bool = True,
-    hash_dim: int = 1024,
+    hash_dim: int = 512,
     left_chunk: int = 4096,
     right_tile: int = 4096,
 ) -> MatchPairs:

@@ -1332,13 +1332,17 @@ def adaptive_topn(
         if forced:
             jobs.append((idx, c_full, kt_big))
             last_bucketed = False
-        elif escalations < 4 and len(idx) * c_full > 32_000_000:
-            # Bucketed escalation, only when the full-width re-match would
-            # ship too much (each extra round costs a full re-select):
-            # cover the bulk of the unsafe rows at the width the 90th
-            # percentile needs; the hot tail waits for the next (wider)
-            # round.  The final round always uses the full width, so
-            # completeness is unconditional.
+        elif escalations < 4 and len(idx) * c_full > 128_000_000:
+            # Quantile-bucketed escalation, only when the full-width
+            # re-match's device candidate buffer would be too large (the
+            # guard is slots: 128M i32 = 512 MB; downloads are compacted so
+            # buffer size, not wire bytes, is the constraint -- at the old
+            # 32M guard the exact-width one-round split below was skipped
+            # for ordinary corpora, costing a whole extra round +
+            # re-select): cover the bulk of the unsafe rows at the width
+            # the 90th percentile needs; the hot tail waits for the next
+            # (wider) round.  The final round always uses the full width,
+            # so completeness is unconditional.
             c_q = _next_pow2(int(np.quantile(counts[idx], 0.9)) + 1)
             c_big = min(c_full, max(c_q, 2 * c))
             covered = idx[counts[idx] <= c_big]

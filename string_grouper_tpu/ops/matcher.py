@@ -1411,13 +1411,21 @@ def adaptive_topn(
         last_round = (kt_big, c_full, int(unsafe.sum()))
         stats["rounds"] = escalations
         touched = np.zeros(n_left, dtype=bool)
-        sub_rows_parts, sub_cols_parts = [], []
+        sub_rows_parts, sub_cols_parts, sub_sims_parts = [], [], []
 
         def finish_one(g, finish):
             t0 = _time.perf_counter()
             rows_pos, g_cols, g_bound = finish()
             stats["esc_wait"] += _time.perf_counter() - t0
-            sub_rows_parts.append(g.astype(np.int64)[rows_pos])
+            g_rows = g.astype(np.int64)[rows_pos]
+            # Score this bucket's pairs now: the host fp64 rescore overlaps
+            # the next bucket's device re-match and download.
+            t0 = _time.perf_counter()
+            sub_sims_parts.append(
+                rescore_pairs_fp64(left, right, g_rows, g_cols)
+            )
+            stats["rescore"] += _time.perf_counter() - t0
+            sub_rows_parts.append(g_rows)
             sub_cols_parts.append(g_cols)
             bound[g] = g_bound
             touched[g] = True
@@ -1446,9 +1454,7 @@ def adaptive_topn(
         idx = np.flatnonzero(touched)
         sub_rows = np.concatenate(sub_rows_parts)
         sub_cols_f = np.concatenate(sub_cols_parts)
-        t0 = _time.perf_counter()
-        sub_sims = rescore_pairs_fp64(left, right, sub_rows, sub_cols_f)
-        stats["rescore"] += _time.perf_counter() - t0
+        sub_sims = np.concatenate(sub_sims_parts)
         stats["pairs_scored"] += len(sub_rows)
         # Incremental re-selection: top-n is independent per row, so only
         # the escalated rows' selections change (the re-run returns a

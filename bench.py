@@ -144,12 +144,17 @@ def main() -> None:
     series = synthetic_company_names(n)
 
     if not os.environ.get("BENCH_SKIP_WARMUP"):
-        # Two full-size warmups so the timed run measures steady-state
+        # Full-size warmups so the timed runs measure steady-state
         # execution: the first pays XLA compilation (persisted to
-        # .jax_cache) and the TPU-VM first-touch page faults; the second
-        # finishes growing the (never-trimmed) heap so every numpy
-        # temporary is served fault-free.
-        for i in range(2):
+        # .jax_cache) and the TPU-VM first-touch page faults; the later
+        # ones finish growing the (never-trimmed) heap so every numpy
+        # temporary is served fault-free.  Warm-up is NOT a fixed count:
+        # measured sequences keep improving for several runs after the
+        # compile run (e.g. 201s, 25s, 35s, 29s, 21s, 17s), so warm up
+        # until the wall stops improving materially (or the cap is hit).
+        n_warm = int(os.environ.get("BENCH_WARMUPS", "5"))
+        prev = None
+        for i in range(n_warm):
             t0 = time.perf_counter()
             warm = run()
             warm_s = time.perf_counter() - t0
@@ -158,11 +163,14 @@ def main() -> None:
                 file=sys.stderr,
             )
             del warm
+            if i >= 1 and prev is not None and warm_s > 0.9 * prev:
+                break
+            prev = warm_s
 
     # Host/VM timing variance on this setup is large (+-50% run to run,
-    # "memory weather"); report the median of five timed runs, with the
-    # per-phase breakdown of the median run.
-    n_runs = int(os.environ.get("BENCH_RUNS", "5"))
+    # "memory weather", tunnel-bandwidth swings); report the median of
+    # seven timed runs, with the per-phase breakdown of the median run.
+    n_runs = int(os.environ.get("BENCH_RUNS", "7"))
     walls, run_phases = [], []
     for _ in range(n_runs):
         t0 = time.perf_counter()

@@ -19,7 +19,8 @@ exact merge-rescore kernels.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import os
+from dataclasses import dataclass, replace
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -32,17 +33,57 @@ from .preprocess import _DEFAULT_STRIP_BYTES, clean_corpus
 
 
 @dataclass(frozen=True)
+class DeviceEncodeSrc:
+    """Wire-minimal device-encode payload: the corpus as cleaned per-row
+    compact character codes, plus everything the device needs to rebuild
+    the hashed TF-IDF projection itself (ops/matcher.py
+    ``_device_hash_codes``): ``h[i, b] = inv_norm[i] * sum_p idf[term(key_p)]``
+    over n-gram windows ``p`` -- mathematically the same projection as the
+    packed-slot upload, at ~1 byte per character instead of 4 bytes per
+    nonzero.  Produced by the native encoder (exact_scorer.cpp
+    ``encode_get_clean``/``encode_row_norms``); the exact ELL values stay on
+    host for the fp64 rescore.
+    """
+
+    flat_codes: np.ndarray  # uint8[total]: cleaned chars as codes 1..base-1
+    coff: np.ndarray  # int64[n + 1] row offsets into flat_codes
+    inv_norm: np.ndarray  # float32[n] inverse L2 norms (0 for empty rows)
+    table_id: np.ndarray  # int32[base**ngram]: compact key -> term id, -1 OOV
+    idf32: np.ndarray  # float32[n_terms]
+    base: int  # code alphabet size + 1 (0 reserved for pad/unknown)
+    ngram: int
+
+    def row_lengths(self) -> np.ndarray:
+        return np.diff(self.coff).astype(np.int64)
+
+    def slice_rows(self, lo: int, hi: int) -> "DeviceEncodeSrc":
+        off = self.coff[lo:hi + 1]
+        return DeviceEncodeSrc(
+            flat_codes=self.flat_codes[off[0]:off[-1]],
+            coff=np.ascontiguousarray(off - off[0]),
+            inv_norm=self.inv_norm[lo:hi],
+            table_id=self.table_id,
+            idf32=self.idf32,
+            base=self.base,
+            ngram=self.ngram,
+        )
+
+
+@dataclass(frozen=True)
 class EllMatrix:
     """Padded sparse-row TF-IDF matrix.
 
     ``ids[i, k]`` is the k-th (ascending) vocabulary index present in row i,
     or -1 for padding; ``vals64[i, k]`` the corresponding L2-normalized
-    float64 TF-IDF value (0 for padding).
+    float64 TF-IDF value (0 for padding).  ``device_src``, when present,
+    carries the byte-level payload from which the device rebuilds the hashed
+    projection without uploading the matrix (DeviceEncodeSrc).
     """
 
     ids: np.ndarray  # int32[n, L]
     vals64: np.ndarray  # float64[n, L]
     n_terms: int  # vocabulary size
+    device_src: Optional[DeviceEncodeSrc] = None
 
     @property
     def n_rows(self) -> int:
@@ -172,6 +213,9 @@ class TfidfEncoder:
         self._packed_bits: Optional[int] = None
         self.idf_: Optional[np.ndarray] = None  # float64[U]
         self.n_docs_: int = 0
+        # Device-encode tables (code LUT, key->term table, idf32, base),
+        # derived from the fitted vocabulary; see DeviceEncodeSrc.
+        self._dev_tables = None
 
     @property
     def vocabulary_size(self) -> int:
@@ -236,9 +280,11 @@ class TfidfEncoder:
         lib.encode_get_vocab_df(keys32, df)
         self.vocab_keys_ = keys32.astype(np.uint64)
         self._packed_bits = 8
+        self._dev_tables = None
         self.n_docs_ = n_rows
         self.idf_ = np.log((1.0 + n_rows) / (1.0 + df)) + 1.0
-        return self._native_phase2(lib, n_rows, max_w, vocab_n)
+        ell = self._native_phase2(lib, n_rows, max_w, vocab_n)
+        return replace(ell, device_src=self._device_payload(lib, n_rows))
 
     def _native_transform(self, strings: list) -> Optional[EllMatrix]:
         if self._packed_bits != 8:
@@ -258,7 +304,8 @@ class TfidfEncoder:
             raw, roff, n_rows, keep, lut, self.config.ngram_size,
             keys32, len(keys32), info,
         )
-        return self._native_phase2(lib, n_rows, int(info[1]), len(keys32))
+        ell = self._native_phase2(lib, n_rows, int(info[1]), len(keys32))
+        return replace(ell, device_src=self._device_payload(lib, n_rows))
 
     def _native_phase2(
         self, lib, n_rows: int, max_w: int, n_terms: int
@@ -268,6 +315,62 @@ class TfidfEncoder:
         vals = np.empty((n_rows, width), dtype=np.float64)
         lib.encode_phase2(np.ascontiguousarray(self.idf_), width, ids, vals)
         return EllMatrix(ids=ids, vals64=vals, n_terms=n_terms)
+
+    def _device_tables(self):
+        """(code_lut, table_id, idf32, base) for DeviceEncodeSrc, derived
+        from the fitted vocabulary: bytes appearing in vocabulary keys get
+        compact codes 1..base-1 (0 = pad / byte unseen at fit time), and
+        the direct-address table maps each vocabulary n-gram's base-`base`
+        compact key to its term id.  Any window touching a 0 code has a
+        zero base-`base` digit, so it can never alias a vocabulary key
+        (whose digits are all >= 1) -- it reads -1 (OOV) from the table."""
+        if self._dev_tables is not None:
+            return self._dev_tables
+        n = self.config.ngram_size
+        ks = self.vocab_keys_.astype(np.uint64)
+        cols = [
+            ((ks >> np.uint64(8 * (n - 1 - j))) & np.uint64(0xFF)).astype(
+                np.int64
+            )
+            for j in range(n)
+        ]
+        present = np.zeros(256, dtype=bool)
+        for c in cols:
+            present[c] = True
+        code_lut = np.zeros(256, dtype=np.uint8)
+        code_lut[present] = np.arange(1, int(present.sum()) + 1, dtype=np.uint8)
+        base = int(present.sum()) + 1
+        key = np.zeros(len(ks), dtype=np.int64)
+        for c in cols:
+            key = key * base + code_lut[c].astype(np.int64)
+        table = np.full(base**n, -1, dtype=np.int32)
+        table[key] = np.arange(len(ks), dtype=np.int32)
+        idf32 = np.ascontiguousarray(self.idf_, dtype=np.float32)
+        self._dev_tables = (code_lut, table, idf32, base)
+        return self._dev_tables
+
+    def _device_payload(self, lib, n_rows: int) -> Optional[DeviceEncodeSrc]:
+        """Materialize the device-encode payload for the rows of the encode
+        call that just ran (the native scratch state is per-process and the
+        next encode overwrites it, so this copies eagerly)."""
+        if os.environ.get("SG_TPU_DEVICE_ENCODE", "1") == "0":
+            return None
+        total = int(lib.encode_clean_total())
+        flat = np.empty(total, dtype=np.uint8)
+        coff = np.empty(n_rows + 1, dtype=np.int64)
+        lib.encode_get_clean(flat, coff)
+        inv = np.empty(n_rows, dtype=np.float32)
+        lib.encode_row_norms(np.ascontiguousarray(self.idf_), inv)
+        code_lut, table, idf32, base = self._device_tables()
+        return DeviceEncodeSrc(
+            flat_codes=code_lut[flat],
+            coff=coff,
+            inv_norm=inv,
+            table_id=table,
+            idf32=idf32,
+            base=base,
+            ngram=self.config.ngram_size,
+        )
 
     def fit_transform(self, strings: Sequence[str]) -> EllMatrix:
         strings = list(strings)
@@ -360,8 +463,19 @@ class TfidfEncoder:
         duplicates = list(duplicates)
         both = self.fit_transform(master + duplicates)
         n_m = len(master)
-        m = EllMatrix(ids=both.ids[:n_m], vals64=both.vals64[:n_m], n_terms=both.n_terms)
-        d = EllMatrix(ids=both.ids[n_m:], vals64=both.vals64[n_m:], n_terms=both.n_terms)
+        src = both.device_src
+        m = EllMatrix(
+            ids=both.ids[:n_m], vals64=both.vals64[:n_m],
+            n_terms=both.n_terms,
+            device_src=src.slice_rows(0, n_m) if src is not None else None,
+        )
+        d = EllMatrix(
+            ids=both.ids[n_m:], vals64=both.vals64[n_m:],
+            n_terms=both.n_terms,
+            device_src=(
+                src.slice_rows(n_m, both.n_rows) if src is not None else None
+            ),
+        )
         return m, d
 
     def _encode(

@@ -142,5 +142,13 @@ def get_scorer_lib() -> Optional[ctypes.CDLL]:
     lib.encode_get_vocab_df.argtypes = [p_u32, p_i32]
     lib.encode_phase2.restype = None
     lib.encode_phase2.argtypes = [p_f64, i64, p_i32, p_f64]
+    lib.encode_clean_total.restype = i64
+    lib.encode_clean_total.argtypes = []
+    lib.encode_get_clean.restype = None
+    lib.encode_get_clean.argtypes = [p_u8, p_i64]
+    lib.encode_row_norms.restype = None
+    lib.encode_row_norms.argtypes = [p_f64, p_f32]
+    lib.fill_code_rows.restype = None
+    lib.fill_code_rows.argtypes = [p_u8, p_i64, p_i32, i64, i64, p_u8]
     _lib = lib
     return _lib

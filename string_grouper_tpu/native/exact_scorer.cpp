@@ -556,4 +556,62 @@ void encode_phase2(
     }
 }
 
+// ---------------------------------------------------------------------------
+// Device-encode payload (corpus/tfidf.py DeviceEncodeSrc): the cleaned byte
+// stream + per-row inverse L2 norms let the TPU build its hashed projection
+// directly from ~1 byte per character instead of 4 bytes per nonzero slot
+// (ops/matcher.py _device_hash_codes) -- the host-device link is the scarce
+// resource (docs/performance.md).  Valid between a phase1 call and the next
+// encode (g_enc is per-process scratch); the Python caller copies eagerly.
+// ---------------------------------------------------------------------------
+
+// Size of the cleaned byte stream, for caller-side allocation.
+int64_t encode_clean_total() { return int64_t(g_enc.clean.size()); }
+
+// Copy the cleaned byte stream and row offsets (n_rows + 1 entries).
+void encode_get_clean(uint8_t* out_flat, int64_t* out_coff)
+{
+    EncState& S = g_enc;
+    std::memcpy(out_flat, S.clean.data(), S.clean.size());
+    std::memcpy(out_coff, S.coff.data(), (S.n_rows + 1) * sizeof(int64_t));
+}
+
+// Per-row inverse L2 norm of the tf-idf vector (0 for empty rows), float32.
+// Same accumulation as encode_phase2: w = tf * idf in ascending-term order,
+// float64 sum of squares.
+void encode_row_norms(const double* idf, float* out_inv)
+{
+    EncState& S = g_enc;
+    const int64_t n_rows = S.n_rows;
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_rows; ++r) {
+        const int64_t beg = S.coff[r];
+        const int32_t u = S.ucnt[r];
+        double sumsq = 0.0;
+        for (int32_t k = 0; k < u; ++k) {
+            const double w = double(S.wtf[beg + k]) * idf[S.wid[beg + k]];
+            sumsq += w * w;
+        }
+        out_inv[r] = sumsq > 0.0 ? float(1.0 / std::sqrt(sumsq)) : 0.0f;
+    }
+}
+
+// Stateless: gather ragged code rows into a dense (m x width) uint8 matrix,
+// 0-padded.  order[i] selects the source row; rows longer than width are
+// truncated (the caller routes long rows to a wider tier).
+void fill_code_rows(
+    const uint8_t* flat, const int64_t* coff, const int32_t* order,
+    int64_t m, int64_t width, uint8_t* out)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < m; ++i) {
+        const int64_t r = order[i];
+        const int64_t len0 = coff[r + 1] - coff[r];
+        const int64_t len = len0 < width ? len0 : width;
+        uint8_t* o = out + i * width;
+        std::memcpy(o, flat + coff[r], size_t(len));
+        std::memset(o + len, 0, size_t(width - len));
+    }
+}
+
 }  // extern "C"

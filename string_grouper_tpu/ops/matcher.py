@@ -233,20 +233,158 @@ def _device_hash(
     return hs.reshape(n_p, dim)[:n]
 
 
+@partial(jax.jit, static_argnames=("dim", "base", "ngram", "row_tile"))
+def _device_hash_codes(
+    codes: jax.Array,  # (n, W) uint8 cleaned char codes, 0 = pad/unknown
+    inv_norm: jax.Array,  # (n,) f32 inverse L2 norms
+    table_id: jax.Array,  # (base**ngram,) int32 compact key -> term id, -1 OOV
+    idf: jax.Array,  # (n_terms,) f32
+    dim: int,
+    base: int,
+    ngram: int,
+    row_tile: int = 4096,
+) -> jax.Array:
+    """Hashed TF-IDF projection computed on device straight from cleaned
+    character codes (DeviceEncodeSrc):
+
+        h[i, b] = inv_norm[i] * sum_p idf[t_p] * [bucket(t_p) == b]
+
+    over the row's n-gram windows p with t_p = table_id[compact key].
+    Summing idf once per OCCURRENCE accumulates tf * idf per term, so this
+    is the same projection as ``_device_hash`` over ``pack_hash_inputs``
+    (same Knuth term-id bucketing as ``_pack_rows``), up to float rounding
+    -- absorbed by the phase-1 UB slack.  Windows touching a pad/unknown
+    code read -1 from the table (see DeviceEncodeSrc) and contribute 0."""
+    n, w = codes.shape
+    if w < ngram:  # every row shorter than the n-gram size: no windows
+        return jnp.zeros((n, dim), jnp.bfloat16)
+    n_p = -(-n // row_tile) * row_tile
+    if n_p > n:
+        codes = jnp.pad(codes, ((0, n_p - n), (0, 0)))
+        inv_norm = jnp.pad(inv_norm, (0, n_p - n))
+    win = w - ngram + 1
+    shift = 32 - int(dim).bit_length() + 1
+    ct = codes.reshape(n_p // row_tile, row_tile, w)
+    it = inv_norm.reshape(n_p // row_tile, row_tile)
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, dim), 2)
+
+    def body(_, xs):
+        c, inv = xs
+        c = c.astype(jnp.int32)
+        key = jnp.zeros((row_tile, win), jnp.int32)
+        for j in range(ngram):
+            key = key * base + jax.lax.dynamic_slice_in_dim(c, j, win, axis=1)
+        ids = table_id[key]
+        valid = ids >= 0
+        v = jnp.where(valid, idf[jnp.maximum(ids, 0)], 0.0)
+        u = ids.astype(jnp.uint32) * jnp.uint32(_KNUTH)
+        b = jax.lax.shift_right_logical(u, jnp.uint32(shift)).astype(jnp.int32)
+        b = jnp.where(valid, b, dim)  # out-of-range: never matches the iota
+        h = jnp.where(b[:, :, None] == d_iota, v[:, :, None], 0.0).sum(axis=1)
+        return None, (h * inv[:, None]).astype(jnp.bfloat16)
+
+    _, hs = jax.lax.scan(body, None, (ct, it))
+    return hs.reshape(n_p, dim)[:n]
+
+
+def _fill_code_rows(src, order: np.ndarray, width: int) -> np.ndarray:
+    """Dense (len(order), width) uint8 code rows from the ragged payload,
+    0-padded (native one-pass gather; numpy fallback for tests)."""
+    from ..native import get_scorer_lib
+
+    order = np.ascontiguousarray(order, dtype=np.int32)
+    out = np.empty((len(order), width), dtype=np.uint8)
+    lib = get_scorer_lib()
+    if lib is not None and hasattr(lib, "fill_code_rows"):
+        lib.fill_code_rows(
+            np.ascontiguousarray(src.flat_codes),
+            np.ascontiguousarray(src.coff),
+            order, len(order), width, out,
+        )
+        return out
+    out[:] = 0
+    lens = np.minimum(np.diff(src.coff)[order], width).astype(np.int64)
+    starts = src.coff[order]
+    idx = starts[:, None] + np.arange(width)[None, :]
+    valid = np.arange(width)[None, :] < lens[:, None]
+    out[valid] = src.flat_codes[np.minimum(idx, len(src.flat_codes) - 1)[valid]]
+    return out
+
+
+def _build_hash_from_codes(src, n_pad: int, dim: int, narrow_w: int = 64,
+                           min_rows: int = 10000) -> jax.Array:
+    """(n_pad, dim) bf16 projection from a DeviceEncodeSrc payload: the
+    corpus ships as ~1 byte per character (plus f32 norms and the small
+    key->term table) and the device rebuilds the projection itself
+    (``_device_hash_codes``) -- the wire-minimal form of
+    ``build_hash_matrix``'s packed-slot upload.  Same two-tier row-width
+    split, restored with a device gather."""
+    lens = src.row_lengths()
+    n = len(lens)
+    table = jnp.asarray(src.table_id)
+    idf = jnp.asarray(src.idf32)
+    args = dict(dim=dim, base=src.base, ngram=src.ngram)
+    narrow = lens <= narrow_w
+    frac = narrow.mean() if n else 0.0
+    full_w = max(src.ngram, _next_pow2(int(lens.max(initial=0))))
+    if full_w <= narrow_w or frac < 0.5 or n < min_rows:
+        codes = _fill_code_rows(src, np.arange(n, dtype=np.int32), full_w)
+        h = _device_hash_codes(
+            jnp.asarray(codes), jnp.asarray(src.inv_norm), table, idf, **args
+        )
+    else:
+        order = np.argsort(~narrow, kind="stable").astype(np.int32)
+        k = int(narrow.sum())
+        inv_s = src.inv_norm[order]
+        parts = [
+            _device_hash_codes(
+                jnp.asarray(_fill_code_rows(src, order[:k], narrow_w)),
+                jnp.asarray(inv_s[:k]), table, idf, **args,
+            )
+        ]
+        if k < n:
+            parts.append(
+                _device_hash_codes(
+                    jnp.asarray(_fill_code_rows(src, order[k:], full_w)),
+                    jnp.asarray(inv_s[k:]), table, idf, **args,
+                )
+            )
+        h_perm = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        inv = np.empty(n, dtype=np.int32)
+        inv[order] = np.arange(n, dtype=np.int32)
+        h = h_perm[jnp.asarray(inv)]
+    if n_pad > n:
+        h = jnp.pad(h, ((0, n_pad - n), (0, 0)))
+    return h
+
+
+def device_encode_enabled() -> bool:
+    """Byte-level device encode (DeviceEncodeSrc) toggle; on by default
+    when the native encoder produced a payload."""
+    return os.environ.get("SG_TPU_DEVICE_ENCODE", "1") != "0"
+
+
 def build_hash_matrix(
     ell: EllMatrix, n_pad: int, dim: int, narrow_w: int = 32,
     min_rows: int = 10000,
 ) -> jax.Array:
     """Host quantization + device hashing: (n_pad, dim) bf16 projection.
 
-    Rows are uploaded in two width tiers when profitable (most corpora have
-    a long-tail nnz distribution -- e.g. 94%% of company names fit 32 slots
-    while the ELL width is set by the longest string), then restored to the
-    original order with a device gather.  The host-device link is the
-    scarce resource; see docs/performance.md.
+    When the encoder attached a byte-level payload (DeviceEncodeSrc), the
+    projection is instead rebuilt on device from cleaned character codes
+    (``_build_hash_from_codes``) -- ~1 byte per character over the wire
+    instead of 4 bytes per nonzero.  Otherwise rows are uploaded as packed
+    (bucket, value) slots in two width tiers when profitable (most corpora
+    have a long-tail nnz distribution -- e.g. 94%% of company names fit 32
+    slots while the ELL width is set by the longest string), then restored
+    to the original order with a device gather.  The host-device link is
+    the scarce resource; see docs/performance.md.
     """
     if dim > (1 << 15):
         raise ValueError("hash_dim must be <= 32768")
+    src = getattr(ell, "device_src", None)
+    if src is not None and device_encode_enabled():
+        return _build_hash_from_codes(src, n_pad, dim)
     n = ell.n_rows
     nnz = ell.nnz_per_row()
     narrow = nnz <= narrow_w

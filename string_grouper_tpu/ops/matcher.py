@@ -49,7 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..corpus.tfidf import EllMatrix
-from .pallas_kernels import fused_tile_topk, fused_tile_topk_supported
+from .pallas_kernels import p1_fused_closed2, p1_fused_supported
 from .rescore import rescore_pairs_fp64
 
 import logging
@@ -86,14 +86,17 @@ _ESC_MIN_JOB_ROWS = 4096
 
 
 def fused_enabled() -> bool:
-    """Whether the fused Pallas phase-1 kernel is used (it is always exact
-    and bit-identical to the XLA path -- bench.py's path-identity check
-    proves that on the real device every round).  Measured at 663k on v5e,
-    the XLA path is faster (9.3 s vs 13.1 s steady-state: XLA's fusion of
-    the matmul + extraction pipeline beats the hand-written kernel's
-    in-place masked extraction loop), so the kernel is opt-in via
-    ``SG_TPU_FUSED=1``."""
-    return os.environ.get("SG_TPU_FUSED", "0") == "1"
+    """Whether the fused Pallas phase-1 kernel (``p1_fused_closed2``) is
+    used for the default (k_tile=2, thresholded) configuration on TPU.  It
+    is bit-identical to the XLA path -- bench.py's path-identity check
+    proves frame equality on the real device every round -- and measured
+    ~30%% faster at 663k on v5e (174 ms vs 244 ms per 32k-row segment: the
+    score block never spills to HBM and the per-chunk ``lax.top_k`` is
+    replaced by an in-kernel running merge; see pallas_kernels.py).
+    ``SG_TPU_FUSED=0`` forces the XLA tile body, which remains the oracle
+    for CPU tests, the mesh path, escalation re-matches, and thresholdless
+    runs."""
+    return os.environ.get("SG_TPU_FUSED", "1") != "0"
 
 
 @dataclass
@@ -419,7 +422,6 @@ def _ub_topk_scan(
     thr_eff: jax.Array,  # f32 scalar
     cand_c: int,
     k_tile: int,
-    use_kernel: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Tiled phase-1 filter for one left chunk: scan over right tiles; per
     tile an MXU matmul of the hashed projections (bf16 inputs, f32
@@ -450,15 +452,6 @@ def _ub_topk_scan(
     def body(carry, xs):
         b_tile, off = xs
         counts, tmax, tbound = carry
-        if use_kernel:
-            # Fused Pallas kernel: matmul + threshold + count + top-kt
-            # extraction with the score block VMEM-resident.
-            tv, tc, cnt = fused_tile_topk(a_hash, b_tile, thr_eff, kt)
-            tc = tc + off
-            counts = counts + cnt
-            tmax = jnp.maximum(tmax, cnt)
-            tbound = jnp.maximum(tbound, jnp.where(cnt > kt, tv[:, -1], neg))
-            return (counts, tmax, tbound), (tv, tc)
         ub = jnp.dot(a_hash, b_tile.T, preferred_element_type=jnp.float32)
         ubm = jnp.where(ub >= thr_eff, ub, neg)
         cnt = (ubm > neg).sum(axis=1, dtype=jnp.int32)
@@ -567,16 +560,13 @@ def match_block(
     thr_eff: jax.Array,  # f32 scalar
     cand_c: int,
     k_tile: int = 4,
-    use_kernel: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One left block against one right block: the phase-1 candidate
     selector.  Pure function: jitted (inside the corpus scan) for the
     single-chip path and called inside ``shard_map`` by the distributed
     matcher (parallel/distributed.py), where the right block is one device's
     shard."""
-    return _ub_topk_scan(
-        a_hash, b_hash_tiles, thr_eff, cand_c, k_tile, use_kernel
-    )
+    return _ub_topk_scan(a_hash, b_hash_tiles, thr_eff, cand_c, k_tile)
 
 
 def finalize_ship(w_vals: jax.Array, w_cols: jax.Array):
@@ -783,14 +773,13 @@ def _finish_rows(meta, flat, ub_last, cols2, m, m_p, budget, n_right_p,
     return rows_pos, cols_f, bound_h
 
 
-@partial(jax.jit, static_argnames=("cand_c", "k_tile", "use_kernel"))
+@partial(jax.jit, static_argnames=("cand_c", "k_tile"))
 def _corpus_match(
     a_hash_chunks: jax.Array,  # (n_chunks, chunk, d) bf16
     b_hash_tiles: jax.Array,  # (n_tiles, tile, d) bf16
     thr_eff: jax.Array,
     cand_c: int,
     k_tile: int,
-    use_kernel: bool = False,
 ):
     """Whole-corpus phase 1 in ONE device program: outer scan over left
     chunks, inner scan over right tiles.  One dispatch per fit instead of
@@ -798,7 +787,7 @@ def _corpus_match(
 
     def chunk_body(_, a_hash):
         w_vals, w_cols, counts, tmax, bound = _ub_topk_scan(
-            a_hash, b_hash_tiles, thr_eff, cand_c, k_tile, use_kernel
+            a_hash, b_hash_tiles, thr_eff, cand_c, k_tile
         )
         cols = finalize_ship(w_vals, w_cols)
         return None, (cols, bound, counts, tmax)
@@ -1151,30 +1140,44 @@ def _phase1_single(
         are dispatched up front (including the compaction epilogue); the
         device queue drains while the consumer scores earlier segments."""
         thr = jnp.float32(thr_eff)
-        use_k = on_tpu and fused_enabled() and fused_tile_topk_supported(
-            chunk, tile, hash_dim, k_tile
-        )
         if (
             is_self
             and k_tile == 2
             and thr_eff > 0
-            and not use_k
             and triangular_enabled()
             and n_left_p == n_right_p
         ):
             yield from run_stream_tri(thr_eff, cand_c)
             return
+        use_fused = (
+            on_tpu
+            and fused_enabled()
+            and k_tile == 2
+            and thr_eff > 0
+            and p1_fused_supported(seg_rows, n_right_p, hash_dim, tile, cand_c)
+        )
         # Ragged-prefix compaction: skip when thresholdless (every column
         # qualifies -- nothing to compact) or the full ship is small anyway.
         do_compact = thr_eff > 0 and cand_c > _SHIP_BUDGET_ROWS
         budget = -(-seg_rows * _SHIP_BUDGET_ROWS // 1024) * 1024
         futs = []
         for g in range(n_seg):
-            cols, bound, counts, tmax, max_cnt = _corpus_match(
-                a_hash_chunks[g * cpg : (g + 1) * cpg],
-                b_hash_tiles, thr, cand_c, k_tile, use_k,
-            )
-            cols2 = cols.reshape(-1, cols.shape[-1])
+            if use_fused:
+                # Fused Pallas phase 1: matmul + closed-form kt=2 extraction
+                # + running top-C merge in one kernel, score block
+                # VMEM-resident (pallas_kernels.p1_fused_closed2).  The ship
+                # matrix it returns has the same descending-UB valid-prefix
+                # invariant as the XLA path's finalize_ship output.
+                cols2, counts, tmax, bound, max_cnt = p1_fused_closed2(
+                    a_flat[g * seg_rows : (g + 1) * seg_rows],
+                    b_hash, thr, tile=tile, cand_c=cand_c,
+                )
+            else:
+                cols, bound, counts, tmax, max_cnt = _corpus_match(
+                    a_hash_chunks[g * cpg : (g + 1) * cpg],
+                    b_hash_tiles, thr, cand_c, k_tile,
+                )
+                cols2 = cols.reshape(-1, cols.shape[-1])
             flat = None
             if do_compact:
                 flat, n_i = _compact_cols(cols2, budget)
@@ -1214,11 +1217,8 @@ def _phase1_single(
             valid = (jnp.arange(m_p) < m)[:, None]
             a_sel = jnp.where(valid, a_sel, 0)
         a_sel = a_sel.reshape(-1, chunk, hash_dim)
-        use_k = on_tpu and fused_enabled() and fused_tile_topk_supported(
-            chunk, tile, hash_dim, k_tile
-        )
         cols, ub_last, counts, _tmax, max_cnt = _corpus_match(
-            a_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile, use_k
+            a_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile
         )
         cols2 = cols.reshape(-1, cols.shape[-1])
         w = cols2.shape[-1]

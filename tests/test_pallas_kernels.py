@@ -1,57 +1,114 @@
 """Fused phase-1 Pallas kernel vs the XLA tile body (interpret mode on the
-CPU backend; the real-TPU path is exercised by bench.py and verified
-bitwise-identical there)."""
+CPU backend; the real-TPU compiled path is exercised by bench.py's
+path-identity check and verified frame-identical there every round)."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from string_grouper_tpu.ops.pallas_kernels import fused_tile_topk
+from string_grouper_tpu.ops.matcher import _ub_topk_scan
+from string_grouper_tpu.ops.pallas_kernels import (
+    p1_fused_closed2,
+    p1_fused_supported,
+)
+
+NEG = -np.inf
 
 
-def _rand(m, tile, d, seed=0):
+def _rand(m, n, d, seed=0, nnz=20):
+    """L2-normalized sparse-ish rows so thresholding yields realistic
+    qualified counts (incl. exact ties from duplicated rows)."""
     rng = np.random.default_rng(seed)
-    a = jnp.asarray(rng.random((m, d), dtype=np.float32) * 0.1).astype(
-        jnp.bfloat16
-    )
-    b = jnp.asarray(rng.random((tile, d), dtype=np.float32) * 0.1).astype(
-        jnp.bfloat16
-    )
+    dense = np.zeros((n, d), np.float32)
+    cols = rng.integers(0, d, size=(n, nnz))
+    vals = rng.random((n, nnz)).astype(np.float32)
+    np.put_along_axis(dense, cols, vals, axis=1)
+    # plant exact duplicates (tie handling) and near-duplicates
+    dense[1] = dense[0]
+    dense[2] = dense[0]
+    dense /= np.linalg.norm(dense, axis=1, keepdims=True) + 1e-9
+    a = jnp.asarray(dense[:m], jnp.bfloat16)
+    b = jnp.asarray(dense, jnp.bfloat16)
     return a, b
 
 
-@pytest.mark.parametrize("kt", [1, 4, 8])
-@pytest.mark.parametrize("m,tile,d", [(256, 256, 128), (512, 256, 256)])
-def test_kernel_matches_xla_body(m, tile, d, kt):
-    a, b = _rand(m, tile, d)
-    thr = jnp.float32(0.3)
-    vals, cols, cnt = fused_tile_topk(
-        a, b, thr, kt, block_m=256, block_n=256, interpret=True
+def _xla_oracle(a, b, thr, tile, cand_c):
+    b_tiles = b.reshape(b.shape[0] // tile, tile, b.shape[1])
+    w_vals, w_cols, counts, tmax, bound = _ub_topk_scan(
+        a, b_tiles, jnp.float32(thr), cand_c, 2
     )
-    ub = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
-    ubm = jnp.where(ub >= thr, ub, -jnp.inf)
-    ocnt = np.asarray((ubm > -jnp.inf).sum(axis=1))
-    ov, oi = jax.lax.top_k(ubm, kt)
-    ov, oi = np.asarray(ov), np.asarray(oi)
-    v, c = np.asarray(vals), np.asarray(cols)
-
-    np.testing.assert_array_equal(np.asarray(cnt), ocnt)
-    # Values may differ by accumulation-order ulps (different matmul
-    # lowering); the exactness machinery only needs the bound to hold to
-    # ~1%, and candidate identity to agree away from ulp ties.
-    finite = np.isfinite(ov)
-    np.testing.assert_array_equal(np.isfinite(v), finite)
-    np.testing.assert_allclose(v[finite], ov[finite], rtol=1e-4)
-    agree = (c == oi) | ~finite
-    assert agree.mean() > 0.99
-
-
-def test_kernel_empty_threshold():
-    a, b = _rand(256, 256, 128)
-    vals, cols, cnt = fused_tile_topk(
-        a, b, jnp.float32(1e9), 4, block_m=256, block_n=256, interpret=True
+    ship = np.asarray(jnp.where(w_vals > -jnp.inf, w_cols, -1))
+    return (
+        ship,
+        np.asarray(counts),
+        np.asarray(tmax),
+        np.asarray(bound),
     )
-    assert (np.asarray(cnt) == 0).all()
-    assert not np.isfinite(np.asarray(vals)).any()
-    assert (np.asarray(cols) == -1).all() or True  # cols undefined when -inf
+
+
+@pytest.mark.parametrize("thr", [0.6, 0.85])
+@pytest.mark.parametrize("m,n,tile,cand_c", [
+    (256, 512, 256, 8),
+    (512, 1024, 256, 16),
+])
+def test_fused_matches_xla_body(m, n, tile, cand_c, thr):
+    assert p1_fused_supported(m, n, 128, tile, cand_c)
+    a, b = _rand(m, n, 128)
+    ship, counts, tmax, bound, max_cnt = p1_fused_closed2(
+        a, b, jnp.float32(thr), tile=tile, cand_c=cand_c, block_m=256,
+        interpret=True,
+    )
+    o_ship, o_counts, o_tmax, o_bound = _xla_oracle(a, b, thr, tile, cand_c)
+    ship = np.asarray(ship)
+    np.testing.assert_array_equal(np.asarray(counts), o_counts)
+    np.testing.assert_array_equal(np.asarray(tmax), o_tmax)
+    assert int(max_cnt) == int(o_tmax.max())
+    np.testing.assert_array_equal(np.asarray(bound), o_bound)
+    # candidate SETS per row must match exactly (tie order inside the
+    # truncation region may differ; exactness only needs set identity
+    # whenever nothing was dropped, and equal bounds otherwise)
+    for r in range(m):
+        assert set(ship[r][ship[r] >= 0].tolist()) == set(
+            o_ship[r][o_ship[r] >= 0].tolist()
+        ), f"row {r}"
+    # valid entries must form a prefix (the _compact_cols invariant)
+    valid = ship >= 0
+    assert (valid[:, 1:] <= valid[:, :-1]).all()
+
+
+def test_fused_empty_threshold():
+    a, b = _rand(256, 512, 128)
+    ship, counts, tmax, bound, max_cnt = p1_fused_closed2(
+        a, b, jnp.float32(1e9), tile=256, cand_c=8, block_m=256,
+        interpret=True,
+    )
+    assert (np.asarray(counts) == 0).all()
+    assert (np.asarray(ship) == -1).all()
+    assert int(max_cnt) == 0
+    assert not np.isfinite(np.asarray(bound)).any()
+
+
+def test_fused_truncation_bound():
+    """When a row has more finite candidates than cand_c, the drop bound
+    must cover everything truncated (= the cand_c-th kept value)."""
+    rng = np.random.default_rng(3)
+    d = 128
+    base = rng.random(d).astype(np.float32)
+    dense = base[None, :] * rng.uniform(0.9, 1.1, (512, 1)).astype(np.float32)
+    dense += rng.random((512, d)).astype(np.float32) * 0.01
+    dense /= np.linalg.norm(dense, axis=1, keepdims=True)
+    a = jnp.asarray(dense[:256], jnp.bfloat16)
+    b = jnp.asarray(dense, jnp.bfloat16)
+    thr = 0.5
+    ship, counts, tmax, bound, _ = p1_fused_closed2(
+        a, b, jnp.float32(thr), tile=256, cand_c=8, block_m=256,
+        interpret=True,
+    )
+    o_ship, o_counts, o_tmax, o_bound = _xla_oracle(
+        a, b, thr, 256, 8
+    )
+    np.testing.assert_array_equal(np.asarray(counts), o_counts)
+    np.testing.assert_array_equal(np.asarray(tmax), o_tmax)
+    np.testing.assert_array_equal(np.asarray(bound), o_bound)
+    assert np.isfinite(np.asarray(bound)).all()  # every row truncates here

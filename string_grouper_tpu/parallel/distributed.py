@@ -33,6 +33,7 @@ string_grouper.py:699-707) for corpora too large for one host.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -103,51 +104,129 @@ def replicated_idf(df: jax.Array, n_docs: jax.Array) -> jax.Array:
     return jnp.log((1.0 + n_docs) / (1.0 + df)) + 1.0
 
 
-def sharded_fit_transform(encoder, master: list, duplicates, mesh: Mesh):
+def _shard_pass2(encoder, corpus, keys, row_ids, vocab, width):
+    """Shard-local value computation: map this shard's n-gram keys into the
+    (replicated) global vocabulary, compute TF-IDF values and row norms from
+    this shard's rows only, and pack a shard-local ELL block.  Consumes
+    nothing but shard-local state + the replicated vocab/IDF -- on a
+    multi-host mesh this runs entirely on the shard's host."""
+    from ..corpus.tfidf import _ell_from_unique_pairs, _unique_row_term_counts
+
+    n_terms = len(vocab)
+    t_idx = np.searchsorted(vocab, keys)
+    rows, terms, tf = _unique_row_term_counts(row_ids, t_idx, n_terms)
+    w = tf.astype(np.float64) * encoder.idf_[terms]
+    norm_sq = np.bincount(rows, weights=w * w, minlength=corpus.n_rows)
+    norm = np.sqrt(norm_sq)
+    inv = np.zeros(corpus.n_rows, dtype=np.float64)
+    nz = norm > 0
+    inv[nz] = 1.0 / norm[nz]
+    ell = _ell_from_unique_pairs(
+        rows, terms, w * inv[rows], corpus.n_rows, n_terms, width=width
+    )
+    return ell, inv
+
+
+def _shard_payload(encoder, corpus, inv64):
+    """Shard-local half of the DeviceEncodeSrc: compact character codes of
+    this shard's cleaned strings + f32 inverse norms.  The replicated
+    tables (key->term id, idf32) come from ``encoder._device_tables()``."""
+    code_lut, _table, _idf32, _base = encoder._device_tables()
+    return code_lut[corpus.buf.astype(np.int64)], inv64.astype(np.float32)
+
+
+def sharded_fit_transform(encoder, master, duplicates, mesh: Mesh):
     """Fit the TF-IDF encoder over a mesh-sharded corpus and encode both
     sides -- the distributed form of the vectorizer's DF pass (reference
     string_grouper.py:699-707; SURVEY section 2.B N1).
 
-    The corpus splits into one contiguous shard per mesh device.  Each
-    shard tokenizes locally (host) and contributes a partial
-    document-frequency vector over the unioned vocabulary; the partials
-    reduce on device with ``psum`` over both mesh axes
-    (:func:`distributed_df_counts`) -- on a multi-host mesh this is the
-    only step that needs cross-host communication, and DF vectors (|vocab|
-    ints) are the only bytes on the wire.  The IDF then replicates, and
-    value computation stays local per shard.  Output is bitwise-identical
-    to :meth:`TfidfEncoder.fit_transform_pair` for any mesh shape
+    Data locality contract (what each step may touch):
+
+      1. The corpus splits into one contiguous shard of document ids per
+         mesh device; every host-side pass below consumes ONE shard's
+         strings at a time -- no whole-corpus token buffer, key array, or
+         (row, term) list is ever materialized.
+      2. Shard-local clean + tokenize.  Two scalar/vector facts must be
+         agreed globally before local work can finish, and both are
+         reductions over shard-local summaries (psum/pmax-shaped; tiny):
+         the key-packing width (max codepoint -- one scalar) and the
+         vocabulary (union of per-shard sorted unique key sets; vocab-sized,
+         not corpus-sized -- the multi-host form is a sorted merge over
+         DCN).
+      3. Per-shard partial document-frequency vectors reduce ON DEVICE with
+         ``psum`` over both mesh axes -- the only corpus-derived cross-shard
+         traffic, |vocab| ints per shard.  The replicated IDF follows.
+      4. Value computation, L2 norms, ELL packing, and the byte-level
+         device-encode payload are shard-local again (``_shard_pass2`` /
+         ``_shard_payload``); only the ELL block width is agreed first
+         (one scalar pmax).
+
+    The single-controller boundary: this process finally CONCATENATES the
+    shard-local ELL blocks and payloads, because the host phase 2 (exact
+    fp64 rescore of downloaded candidates, ops/matcher.py) runs on this
+    controller.  On a true multi-host deployment that concat (and the
+    rescore) would stay per-host; see docs/architecture.md "Multi-host
+    status and DCN plan".
+
+    Output is bitwise-identical to :meth:`TfidfEncoder.fit_transform_pair`
+    for any mesh shape, including the attached ``DeviceEncodeSrc`` payload
     (tests/test_distributed.py).
     """
-    from ..corpus.ngrams import extract_packed_keys, extract_windows, \
-        windows_as_sortable_keys
+    from ..corpus.ngrams import (
+        extract_packed_keys,
+        extract_windows,
+        packed_key_bits,
+        windows_as_sortable_keys,
+    )
     from ..corpus.preprocess import clean_corpus
-    from ..corpus.tfidf import EllMatrix, _unique_row_term_counts
+    from ..corpus.tfidf import DeviceEncodeSrc, EllMatrix, _EMPTY_VOCAB_MSG
 
     if encoder.config.tfidf_matrix_dtype == np.float32:
         # The f32 rounding chain (idf computed in f32 steps) lives in the
-        # host encoder; route through it for bit parity.
+        # host encoder; route through it for bit parity.  See
+        # docs/architecture.md (mesh + float32) -- this bypasses the
+        # DF-psum path by design.
+        import logging
+
+        logging.getLogger("string_grouper_tpu").info(
+            "tfidf_matrix_dtype=float32 under mesh=: encoding on the host "
+            "encoder (bit parity with sklearn's f32 IDF chain); the "
+            "distributed DF-psum path applies to float64 only"
+        )
         return encoder.fit_transform_pair(master, duplicates)
 
-    strings = list(master) + ([] if duplicates is None else list(duplicates))
-    n_docs = len(strings)
+    n_m = len(master)
+    n_docs = n_m + (0 if duplicates is None else len(duplicates))
     n_shards = int(mesh.devices.size)
     per = -(-max(n_docs, 1) // n_shards)
-    shards = [strings[s * per : (s + 1) * per] for s in range(n_shards)]
 
-    # Local tokenize per shard (host); keys are order-preserving packed
-    # n-grams, so the unioned sorted key set IS the sklearn vocabulary.
-    # The packing width must be decided GLOBALLY (a shard-local choice
-    # would drop another shard's wider codepoints as out-of-vocabulary) --
-    # on a multi-host mesh this is one scalar pmax.
-    from ..corpus.ngrams import packed_key_bits
+    def shard_strings(s: int) -> list:
+        """One shard's slice of the virtual concat(master, duplicates) --
+        reads only the rows it owns."""
+        lo, hi = s * per, min((s + 1) * per, n_docs)
+        if hi <= lo:
+            return []
+        out = list(master[max(lo, 0):min(hi, n_m)]) if lo < n_m else []
+        if hi > n_m:
+            out += list(duplicates[max(lo - n_m, 0):hi - n_m])
+        return out
 
-    corpora = [clean_corpus(sh, encoder.config) for sh in shards]
+    # Shard-local pass 1: clean.  The key-packing width must be decided
+    # GLOBALLY (a shard-local choice would drop another shard's wider
+    # codepoints as out-of-vocabulary) -- one scalar pmax over the
+    # shard-local maxima.
+    corpora = [clean_corpus(shard_strings(s), encoder.config)
+               for s in range(n_shards)]
     maxcp = max((int(c.buf.max(initial=0)) for c in corpora), default=0)
     bits0 = packed_key_bits(maxcp)
     if bits0 * encoder.config.ngram_size > 64:
         bits0 = None
+
+    # Shard-local tokenize; keys are order-preserving packed n-grams, so
+    # the union of per-shard sorted unique key sets IS the sklearn
+    # vocabulary (vocab-sized merge, not corpus-sized).
     shard_tok = []
+    shard_vocabs = []
     for corpus in corpora:
         if bits0 is not None:
             keys, row_ids, n_rows, _ = extract_packed_keys(
@@ -158,25 +237,23 @@ def sharded_fit_transform(encoder, master: list, duplicates, mesh: Mesh):
             keys, row_ids, n_rows = (
                 windows_as_sortable_keys(win.windows), win.row_ids, win.n_rows
             )
-        shard_tok.append((keys, row_ids, n_rows))
-    vocab = np.unique(np.concatenate([np.unique(k) for k, _, _ in shard_tok
-                                      if len(k)]))
-    if len(vocab) == 0:
-        raise ValueError(
-            "empty vocabulary; perhaps the documents only contain stop "
-            "characters or are shorter than the n-gram size"
-        )
+        shard_tok.append((keys, row_ids))
+        if len(keys):
+            shard_vocabs.append(np.unique(keys))
+    if not shard_vocabs:
+        raise ValueError(_EMPTY_VOCAB_MSG)
+    vocab = np.unique(np.concatenate(shard_vocabs))
     n_terms = len(vocab)
 
-    # Per-shard unique (doc, term) pairs -> partial DF; psum over the mesh.
-    shard_pairs = []
-    df_local = np.zeros((n_shards, n_terms), dtype=np.int32)
-    for s, (keys, row_ids, n_rows) in enumerate(shard_tok):
-        t_idx = np.searchsorted(vocab, keys)
-        rows, terms, tf = _unique_row_term_counts(row_ids, t_idx, n_terms)
-        shard_pairs.append((rows, terms, tf, n_rows))
-        df_local[s] = np.bincount(terms, minlength=n_terms)
+    # Shard-local partial DF -> device psum over the mesh: the only
+    # corpus-derived cross-shard traffic (|vocab| ints per shard).
+    from ..corpus.tfidf import _unique_row_term_counts
 
+    df_local = np.zeros((n_shards, n_terms), dtype=np.int32)
+    for s, (keys, row_ids) in enumerate(shard_tok):
+        t_idx = np.searchsorted(vocab, keys)
+        _, terms_u, _ = _unique_row_term_counts(row_ids, t_idx, n_terms)
+        df_local[s] = np.bincount(terms_u, minlength=n_terms)
     dp, mp = mesh.devices.shape
     df_dev = jax.device_put(
         df_local.reshape(dp, mp, n_terms),
@@ -192,27 +269,77 @@ def sharded_fit_transform(encoder, master: list, duplicates, mesh: Mesh):
     )(df_dev)
     df = np.asarray(df_global)[0, 0].astype(np.int64)
 
-    # IDF from the globally-reduced DF; value math identical to the host
-    # encoder (float64 path; the f32 rounding chain stays host-only).
+    # Replicated IDF from the globally-reduced DF; value math identical to
+    # the host encoder (float64 path).
     encoder.vocab_keys_ = vocab
     encoder._packed_bits = bits0
+    encoder._dev_tables = None
     encoder.n_docs_ = n_docs
     encoder.idf_ = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
 
-    # Assemble the global ELL (shards are contiguous row ranges).
-    rows_g = np.concatenate([
-        p[0] + s * per for s, p in enumerate(shard_pairs)
-    ]) if shard_pairs else np.zeros(0, np.int64)
-    terms_g = np.concatenate([p[1] for p in shard_pairs])
-    tf_g = np.concatenate([p[2] for p in shard_pairs])
-    both = encoder._encode(rows_g, terms_g, tf_g, n_docs, n_terms)
+    # Shard-local pass 2: values + norms + ELL block + device payload.
+    # The block width is agreed first (one scalar pmax over shard maxima)
+    # so the blocks concatenate without re-padding.
+    from ..corpus.tfidf import _round_up
+
+    width = 8
+    shard_rt = []
+    for corpus, (keys, row_ids) in zip(corpora, shard_tok):
+        t_idx = np.searchsorted(vocab, keys)
+        rows_u, _, _ = _unique_row_term_counts(row_ids, t_idx, n_terms)
+        cnt = np.bincount(rows_u, minlength=corpus.n_rows)
+        width = max(width, _round_up(int(cnt.max(initial=0)), 8))
+    # Device payload applies on the 8-bit-packable (post-clean ASCII)
+    # float64 path -- the same eligibility as the native encoder's payload.
+    make_payload = (
+        bits0 == 8
+        and os.environ.get("SG_TPU_DEVICE_ENCODE", "1") != "0"
+    )
+    parts_ell, parts_codes, parts_coff, parts_inv = [], [], [], []
+    base_off = 0
+    for corpus, (keys, row_ids) in zip(corpora, shard_tok):
+        ell_s, inv_s = _shard_pass2(
+            encoder, corpus, keys, row_ids, vocab, width
+        )
+        parts_ell.append(ell_s)
+        if make_payload:
+            codes_s, inv32_s = _shard_payload(encoder, corpus, inv_s)
+            parts_codes.append(codes_s)
+            parts_coff.append(corpus.offsets[:-1] + base_off)
+            parts_inv.append(inv32_s)
+            base_off += len(codes_s)
+
+    both = EllMatrix(
+        ids=np.concatenate([e.ids for e in parts_ell]),
+        vals64=np.concatenate([e.vals64 for e in parts_ell]),
+        n_terms=n_terms,
+    )
+    if make_payload:
+        _lut, table, idf32, base = encoder._device_tables()
+        src = DeviceEncodeSrc(
+            flat_codes=np.concatenate(parts_codes),
+            coff=np.concatenate(parts_coff + [[base_off]]).astype(np.int64),
+            inv_norm=np.concatenate(parts_inv),
+            table_id=table,
+            idf32=idf32,
+            base=base,
+            ngram=encoder.config.ngram_size,
+        )
+        both = EllMatrix(ids=both.ids, vals64=both.vals64, n_terms=n_terms,
+                         device_src=src)
     if duplicates is None:
         return both, both
-    n_m = len(master)
-    m = EllMatrix(ids=both.ids[:n_m], vals64=both.vals64[:n_m],
-                  n_terms=n_terms)
-    d = EllMatrix(ids=both.ids[n_m:], vals64=both.vals64[n_m:],
-                  n_terms=n_terms)
+    src = both.device_src
+    m = EllMatrix(
+        ids=both.ids[:n_m], vals64=both.vals64[:n_m], n_terms=n_terms,
+        device_src=src.slice_rows(0, n_m) if src is not None else None,
+    )
+    d = EllMatrix(
+        ids=both.ids[n_m:], vals64=both.vals64[n_m:], n_terms=n_terms,
+        device_src=(
+            src.slice_rows(n_m, both.n_rows) if src is not None else None
+        ),
+    )
     return m, d
 
 

@@ -212,6 +212,55 @@ class TestShardedEncode:
         np.testing.assert_array_equal(s_d.ids, h_d.ids)
         np.testing.assert_array_equal(s_d.vals64, h_d.vals64)
 
+    @pytest.mark.parametrize("dp,mp", [(1, 8), (2, 4)])
+    def test_sharded_encode_attaches_device_payload(self, dp, mp):
+        """The mesh path must carry the byte-level DeviceEncodeSrc (the
+        ~1 B/char upload path) just like the host encoder -- VERDICT r2
+        item 3 -- and the payload must be bitwise identical to the host
+        encoder's for any mesh shape."""
+        from string_grouper_tpu.parallel import sharded_fit_transform
+
+        series = _synthetic_names(100, seed=9)
+        host = TfidfEncoder(StringGrouperConfig())
+        h_m, _ = host.fit_transform_pair(list(series), None)
+        assert h_m.device_src is not None
+        mesh = make_mesh(dp * mp, dp=dp)
+        enc = TfidfEncoder(StringGrouperConfig())
+        s_m, _ = sharded_fit_transform(enc, list(series), None, mesh)
+        src, h_src = s_m.device_src, h_m.device_src
+        assert src is not None
+        assert src.base == h_src.base and src.ngram == h_src.ngram
+        np.testing.assert_array_equal(src.flat_codes, h_src.flat_codes)
+        np.testing.assert_array_equal(src.coff, h_src.coff)
+        np.testing.assert_array_equal(src.inv_norm, h_src.inv_norm)
+        np.testing.assert_array_equal(src.table_id, h_src.table_id)
+        np.testing.assert_array_equal(src.idf32, h_src.idf32)
+
+    def test_sharded_encode_payload_cross_join_slices(self):
+        """Cross-join: the payload slices per side like
+        fit_transform_pair's (VERDICT r2 item 3)."""
+        from string_grouper_tpu.parallel import sharded_fit_transform
+
+        master = _synthetic_names(37, seed=10)
+        dupes = _synthetic_names(21, seed=11)
+        host = TfidfEncoder(StringGrouperConfig())
+        h_m, h_d = host.fit_transform_pair(list(master), list(dupes))
+        enc = TfidfEncoder(StringGrouperConfig())
+        s_m, s_d = sharded_fit_transform(
+            enc, list(master), list(dupes), make_mesh(8, dp=2)
+        )
+        for s_side, h_side in ((s_m, h_m), (s_d, h_d)):
+            assert s_side.device_src is not None
+            np.testing.assert_array_equal(
+                s_side.device_src.flat_codes, h_side.device_src.flat_codes
+            )
+            np.testing.assert_array_equal(
+                s_side.device_src.coff, h_side.device_src.coff
+            )
+            np.testing.assert_array_equal(
+                s_side.device_src.inv_norm, h_side.device_src.inv_norm
+            )
+
     def test_sharded_unicode_width_is_global(self):
         """A wide codepoint in ONE shard must widen the packing for all
         shards (shard-local detection would drop it as OOV)."""

@@ -1354,15 +1354,74 @@ def adaptive_topn(
         rounds=0, pairs_scored=0,
     )
 
-    def collect(c, kt):
+    def split_jobs(idx, tmax, counts, c):
+        """Exact-width kt-bucket split of unsafe rows (see the escalation
+        loop below for the rationale): pow2 kt buckets from the device's
+        per-row per-tile maxima, sub-chunk buckets merged into the next
+        wider one, C per bucket from the rows' exact qualified counts."""
+        tm = tmax[idx]
+        raw = []
+        prev_tm = 0
+        for ktb in (2, 4, 8):
+            gb = idx[(tm > prev_tm) & (tm <= ktb)]
+            if len(gb):
+                raw.append((gb, ktb))
+            prev_tm = ktb
+        g_hi = idx[tm > 8]
+        if len(g_hi):
+            raw.append((
+                g_hi,
+                min(kt_cap, max(8, _next_pow2(int(tmax[g_hi].max())))),
+            ))
+        jobs = []
+        pend = None
+        for i, (gb, kt_g) in enumerate(raw):
+            if pend is not None:
+                gb = np.concatenate([pend, gb])
+                pend = None
+            if len(gb) < _ESC_MIN_JOB_ROWS and i + 1 < len(raw):
+                pend = gb
+                continue
+            c_g = min(
+                max(c_cap, 1),
+                max(_next_pow2(int(counts[gb].max())), c),
+            )
+            jobs.append((gb, c_g, kt_g))
+        return jobs
+
+    def dispatch_job(g, c_big, kt_use, counts, rnd):
+        logger.debug(
+            "escalate %d rows to C=%d k_tile=%d (round %d)",
+            len(g), c_big, kt_use, rnd,
+        )
+        t0 = _time.perf_counter()
+        fin = phase1_run_rows(
+            g, effective_threshold(min_similarity), c_big, kt_use,
+            budget_hint=int(counts[g].sum()), defer=True,
+        )
+        stats["esc_wait"] += _time.perf_counter() - t0
+        return g, fin
+
+    def collect(c, kt, stream_escalate):
+        """One full phase-1 pass.  Segments stream; each segment's exact
+        fp64 scoring AND its per-row top-n selection run while the device
+        matches later segments (selection is row-local, so per-segment
+        selection equals the global one).  With ``stream_escalate``, each
+        segment's unsafe rows are detected and their escalation re-match
+        DISPATCHED immediately -- the device executes it behind the
+        already-enqueued segment scans, so by the time the stream drains,
+        most escalation compute (and its downloads, via the deferred
+        finish) has already overlapped the host's scoring of later
+        segments instead of serializing after the whole pass."""
         logger.debug("phase1: C=%d k_tile=%d", c, kt)
-        rows_parts, cols_parts, sims_parts = [], [], []
+        sel_r, sel_c, sel_s = [], [], []
         counts = np.zeros(n_left, dtype=np.int64)
         tmax = np.zeros(n_left, dtype=np.int64)
         bound = np.full(n_left, -np.inf)
+        kept_q = np.zeros(n_left, dtype=np.int64)
+        row_cut = np.full(n_left, -np.inf)
+        pending = []  # deferred escalation jobs (rows, finish)
         max_cnt = 0
-        # Stream segments: exact fp64 scoring of each segment overlaps the
-        # device matching of the next.
         stream = iter(phase1_run(effective_threshold(min_similarity), c, kt))
         while True:
             t0 = _time.perf_counter()
@@ -1375,25 +1434,53 @@ def adaptive_topn(
             sims_g = rescore_pairs_fp64(left, right, r_g, cl_g)
             stats["rescore"] += _time.perf_counter() - t0
             stats["pairs_scored"] += len(r_g)
-            rows_parts.append(r_g)
-            cols_parts.append(cl_g)
-            sims_parts.append(sims_g)
             counts[base : base + m_g] = counts_g
             tmax[base : base + m_g] = tmax_g
             bound[base : base + m_g] = bound_g
             max_cnt = max(max_cnt, mc_g)
+            t0 = _time.perf_counter()
+            r_s, c_s, s_s, kq_g, rc_g = _select_topn(
+                r_g - base, cl_g, sims_g, m_g, min_similarity, max_n_eff
+            )
+            stats["select"] += _time.perf_counter() - t0
+            sel_r.append(r_s + base)
+            sel_c.append(c_s)
+            sel_s.append(s_s)
+            kept_q[base : base + m_g] = kq_g
+            row_cut[base : base + m_g] = rc_g
+            if not stream_escalate:
+                continue
+            idx_l = np.flatnonzero(unsafe_rows(bound_g, kq_g, rc_g))
+            if not len(idx_l):
+                continue
+            idx_g = idx_l.astype(np.int64) + base
+            # Slot guard: unlike the post-stream rounds (jobs finish as the
+            # next dispatches, so at most a couple of buffers coexist),
+            # streamed jobs all stay deferred until the stream drains -- a
+            # pathologically hot segment falls back to the post-stream
+            # quantile/forced machinery instead of parking a giant device
+            # buffer per segment.
+            c_seg = min(
+                max(c_cap, 1),
+                max(_next_pow2(int(counts[idx_g].max())), c),
+            )
+            if len(idx_g) * c_seg > 16_000_000:
+                continue
+            for g, c_big, kt_use in split_jobs(idx_g, tmax, counts, c):
+                pending.append(dispatch_job(g, c_big, kt_use, counts, 1))
         logger.debug(
-            "phase1 done: max_cnt=%d counts.max=%d",
-            max_cnt, int(counts.max(initial=0)),
+            "phase1 done: max_cnt=%d counts.max=%d streamed_esc_jobs=%d",
+            max_cnt, int(counts.max(initial=0)), len(pending),
         )
-        rows_f = (
-            np.concatenate(rows_parts) if rows_parts else np.zeros(0, np.int64)
+        rows_s = (
+            np.concatenate(sel_r) if sel_r else np.zeros(0, np.int64)
         )
-        cols_f = (
-            np.concatenate(cols_parts) if cols_parts else np.zeros(0, np.int64)
+        cols_s = (
+            np.concatenate(sel_c) if sel_c else np.zeros(0, np.int64)
         )
-        sims = np.concatenate(sims_parts) if sims_parts else np.zeros(0)
-        return rows_f, cols_f, sims, counts, tmax, bound, max_cnt
+        sims_s = np.concatenate(sel_s) if sel_s else np.zeros(0)
+        return (rows_s, cols_s, sims_s, kept_q, row_cut,
+                counts, tmax, bound, max_cnt, pending)
 
     def unsafe_rows(bound, kept_q, row_cut):
         # Dropped candidates are bounded by the device-reported drop bound.
@@ -1416,14 +1503,56 @@ def adaptive_topn(
             & ((kept_q < max_n_eff) | (adj >= cut))
         )
 
-    rows_f, cols_f, sims, counts, tmax, bound, max_cnt = collect(c, kt)
-    t0 = _time.perf_counter()
-    rows_s, cols_s, sims_s, kept_q, row_cut = _select_topn(
-        rows_f, cols_f, sims, n_left, min_similarity, max_n_eff
-    )
-    stats["select"] += _time.perf_counter() - t0
-    del rows_f, cols_f, sims
+    (rows_s, cols_s, sims_s, kept_q, row_cut, counts, tmax, bound, max_cnt,
+     pending0) = collect(c, kt, stream_escalate=phase1_run_rows is not None)
+
+    def drain_and_merge(pending, rows_s, cols_s, sims_s):
+        """Finish deferred escalation jobs (download + exact fp64 rescore,
+        each job's scoring overlapping the next job's transfer), then patch
+        the selection: top-n is independent per row, so only the escalated
+        rows' selections change (the re-run returns a superset of their
+        previous candidates)."""
+        touched = np.zeros(n_left, dtype=bool)
+        parts_r, parts_c, parts_s = [], [], []
+        for g, fin in pending:
+            t0 = _time.perf_counter()
+            rows_pos, g_cols, g_bound = fin()
+            stats["esc_wait"] += _time.perf_counter() - t0
+            g_rows = g.astype(np.int64)[rows_pos]
+            t0 = _time.perf_counter()
+            parts_s.append(rescore_pairs_fp64(left, right, g_rows, g_cols))
+            stats["rescore"] += _time.perf_counter() - t0
+            parts_r.append(g_rows)
+            parts_c.append(g_cols)
+            bound[g] = g_bound
+            touched[g] = True
+        idx = np.flatnonzero(touched)
+        sub_rows = np.concatenate(parts_r)
+        sub_cols = np.concatenate(parts_c)
+        sub_sims = np.concatenate(parts_s)
+        stats["pairs_scored"] += len(sub_rows)
+        t0 = _time.perf_counter()
+        r2, c2, s2, kq2, rc2 = _select_topn(
+            sub_rows, sub_cols, sub_sims, n_left, min_similarity, max_n_eff
+        )
+        stats["select"] += _time.perf_counter() - t0
+        keep_sel = ~touched[rows_s]
+        rows_s = np.concatenate([rows_s[keep_sel], r2])
+        cols_s = np.concatenate([cols_s[keep_sel], c2])
+        sims_s = np.concatenate([sims_s[keep_sel], s2])
+        kept_q[idx] = kq2[idx]
+        row_cut[idx] = rc2[idx]
+        return rows_s, cols_s, sims_s
+
     escalations = 0
+    if pending0:
+        # Streamed round 1: every job was dispatched while later segments
+        # were still scanning; only the downloads + scoring remain.
+        escalations = 1
+        stats["rounds"] = 1
+        rows_s, cols_s, sims_s = drain_and_merge(
+            pending0, rows_s, cols_s, sims_s
+        )
     last_round = None  # (kt_big, c_full, n_unsafe) of the previous round
     last_bucketed = False
     while True:
@@ -1431,7 +1560,7 @@ def adaptive_topn(
         if not unsafe.any():
             break
         if phase1_run_rows is None:
-            # Global-growth fallback (distributed path).
+            # Global-growth fallback (no per-row re-match available).
             grew = False
             if max_cnt > kt and kt < kt_cap:
                 kt = min(kt_cap, _next_pow2(max_cnt))
@@ -1441,11 +1570,8 @@ def adaptive_topn(
                 grew = True
             if not grew:
                 break
-            rows_f, cols_f, sims, counts, tmax, bound, max_cnt = collect(c, kt)
-            rows_s, cols_s, sims_s, kept_q, row_cut = _select_topn(
-                rows_f, cols_f, sims, n_left, min_similarity, max_n_eff
-            )
-            del rows_f, cols_f, sims
+            (rows_s, cols_s, sims_s, kept_q, row_cut, counts, tmax, bound,
+             max_cnt, _) = collect(c, kt, stream_escalate=False)
             continue
         # Per-row escalation: re-match just the unsafe rows at widths large
         # enough that they provably drop nothing (k_tile covers the largest
@@ -1504,110 +1630,30 @@ def adaptive_topn(
             # they need -- both widths are sufficient by construction, so
             # one escalation round settles everything (the drop-bound
             # re-check stays as the unconditional safety net).
-            tm = tmax[idx]
             if logger.isEnabledFor(logging.DEBUG):
                 logger.debug(
                     "escalate tmax histogram: %s",
-                    dict(zip(*map(list, np.unique(np.minimum(tm, 33),
-                                                  return_counts=True)))),
+                    dict(zip(*map(list, np.unique(
+                        np.minimum(tmax[idx], 33), return_counts=True)))),
                 )
-            # Pow2 kt buckets: the iterated extraction costs ~3 VPU passes
-            # per kt per tile, so re-matching a tmax<=4 row at kt=8 doubles
-            # its epilogue for nothing (and the bulk of unsafe rows sit at
-            # tmax 3-4; tmax<=2 rows are unsafe only via top-C truncation
-            # and re-run on the closed-form kt=2 path).  A bucket smaller
-            # than one device chunk costs a full chunk scan anyway, so it
-            # merges into the next (wider-kt) bucket: fewer dispatches, and
-            # the merged rows ride a scan that is already paid for.
-            raw = []
-            prev_tm = 0
-            for ktb in (2, 4, 8):
-                gb = idx[(tm > prev_tm) & (tm <= ktb)]
-                if len(gb):
-                    raw.append((gb, ktb))
-                prev_tm = ktb
-            g_hi = idx[tm > 8]
-            if len(g_hi):
-                raw.append((
-                    g_hi,
-                    min(kt_cap, max(8, _next_pow2(int(tmax[g_hi].max())))),
-                ))
-            pend = None
-            for i, (gb, kt_g) in enumerate(raw):
-                if pend is not None:
-                    gb = np.concatenate([pend, gb])
-                    pend = None
-                if len(gb) < _ESC_MIN_JOB_ROWS and i + 1 < len(raw):
-                    pend = gb
-                    continue
-                c_g = min(
-                    max(c_cap, 1),
-                    max(_next_pow2(int(counts[gb].max())), c),
-                )
-                jobs.append((gb, c_g, kt_g))
+            # Pow2 kt buckets (split_jobs): the iterated extraction costs
+            # ~3 VPU passes per kt per tile, so re-matching a tmax<=4 row
+            # at kt=8 doubles its epilogue for nothing (and the bulk of
+            # unsafe rows sit at tmax 3-4; tmax<=2 rows are unsafe only via
+            # top-C truncation and re-run on the closed-form kt=2 path).
+            # A bucket smaller than one device chunk costs a full chunk
+            # scan anyway, so it merges into the next (wider-kt) one.
+            jobs.extend(split_jobs(idx, tmax, counts, c))
             last_bucketed = False
         last_round = (kt_big, c_full, int(unsafe.sum()))
         stats["rounds"] = escalations
-        touched = np.zeros(n_left, dtype=bool)
-        sub_rows_parts, sub_cols_parts, sub_sims_parts = [], [], []
-
-        def finish_one(g, finish):
-            t0 = _time.perf_counter()
-            rows_pos, g_cols, g_bound = finish()
-            stats["esc_wait"] += _time.perf_counter() - t0
-            g_rows = g.astype(np.int64)[rows_pos]
-            # Score this bucket's pairs now: the host fp64 rescore overlaps
-            # the next bucket's device re-match and download.
-            t0 = _time.perf_counter()
-            sub_sims_parts.append(
-                rescore_pairs_fp64(left, right, g_rows, g_cols)
-            )
-            stats["rescore"] += _time.perf_counter() - t0
-            sub_rows_parts.append(g_rows)
-            sub_cols_parts.append(g_cols)
-            bound[g] = g_bound
-            touched[g] = True
-
-        # Sliding window of 2 deferred buckets: bucket k+1's device work
-        # overlaps bucket k's download, while at most two buckets' candidate
-        # buffers coexist on the device (an unbounded window would turn
-        # peak HBM from max-over-buckets into sum-over-buckets).
-        pending = []
-        for g, c_big, kt_use in jobs:
-            logger.debug(
-                "escalate %d rows to C=%d k_tile=%d (round %d)",
-                len(g), c_big, kt_use, escalations,
-            )
-            t0 = _time.perf_counter()
-            fin = phase1_run_rows(
-                g, effective_threshold(min_similarity), c_big, kt_use,
-                budget_hint=int(counts[g].sum()), defer=True,
-            )
-            stats["esc_wait"] += _time.perf_counter() - t0
-            pending.append((g, fin))
-            if len(pending) == 2:
-                finish_one(*pending.pop(0))
-        for g, fin in pending:
-            finish_one(g, fin)
-        idx = np.flatnonzero(touched)
-        sub_rows = np.concatenate(sub_rows_parts)
-        sub_cols_f = np.concatenate(sub_cols_parts)
-        sub_sims = np.concatenate(sub_sims_parts)
-        stats["pairs_scored"] += len(sub_rows)
-        # Incremental re-selection: top-n is independent per row, so only
-        # the escalated rows' selections change (the re-run returns a
-        # superset of their previous candidates).
-        t0 = _time.perf_counter()
-        r2, c2, s2, kq2, rc2 = _select_topn(
-            sub_rows, sub_cols_f, sub_sims, n_left, min_similarity, max_n_eff
+        pending = [
+            dispatch_job(g, c_big, kt_use, counts, escalations)
+            for g, c_big, kt_use in jobs
+        ]
+        rows_s, cols_s, sims_s = drain_and_merge(
+            pending, rows_s, cols_s, sims_s
         )
-        stats["select"] += _time.perf_counter() - t0
-        keep_sel = ~touched[rows_s]
-        rows_s = np.concatenate([rows_s[keep_sel], r2])
-        cols_s = np.concatenate([cols_s[keep_sel], c2])
-        sims_s = np.concatenate([sims_s[keep_sel], s2])
-        kept_q[idx] = kq2[idx]
-        row_cut[idx] = rc2[idx]
     if len(rows_s):
         true_max = int(np.bincount(rows_s, minlength=left.n_rows).max(initial=0))
     else:

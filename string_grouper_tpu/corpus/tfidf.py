@@ -20,7 +20,8 @@ exact merge-rescore kernels.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, replace
+import threading
+from dataclasses import dataclass, field, replace
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -69,6 +70,47 @@ class DeviceEncodeSrc:
         )
 
 
+class _DeferredFill:
+    """A background fill of preallocated arrays (the native encoder's
+    phase 2): the ctypes call releases the GIL, so the ELL value fill runs
+    on a worker thread while the caller ships the (already complete)
+    byte-level payload to the device and starts the phase-1 scan.  ``join``
+    re-raises any worker exception."""
+
+    def __init__(self, fn):
+        self._exc: Optional[BaseException] = None
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # re-raised at join
+                self._exc = e
+
+        self._t = threading.Thread(
+            target=run, name="sg-tpu-encode-phase2", daemon=True
+        )
+        self._t.start()
+
+    def join(self):
+        self._t.join()
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+
+#: The most recent deferred phase-2 fill: the native encoder keeps
+#: per-process scratch state, so the next encode call must join it first.
+_PENDING_FILL: Optional[_DeferredFill] = None
+
+
+def _join_pending_fill():
+    global _PENDING_FILL
+    p = _PENDING_FILL
+    if p is not None:
+        _PENDING_FILL = None
+        p.join()
+
+
 @dataclass(frozen=True)
 class EllMatrix:
     """Padded sparse-row TF-IDF matrix.
@@ -78,12 +120,27 @@ class EllMatrix:
     float64 TF-IDF value (0 for padding).  ``device_src``, when present,
     carries the byte-level payload from which the device rebuilds the hashed
     projection without uploading the matrix (DeviceEncodeSrc).
+
+    ``pending`` marks a matrix whose ids/vals64 are still being filled by a
+    background thread (native encode phase 2 overlapping the device scan);
+    every host reader must call :meth:`wait_ready` first.  Shape/width
+    queries are always safe (arrays are preallocated).
     """
 
     ids: np.ndarray  # int32[n, L]
     vals64: np.ndarray  # float64[n, L]
     n_terms: int  # vocabulary size
     device_src: Optional[DeviceEncodeSrc] = None
+    pending: Optional[_DeferredFill] = field(
+        default=None, compare=False, repr=False
+    )
+
+    def wait_ready(self) -> "EllMatrix":
+        """Block until ids/vals64 are fully materialized (no-op normally)."""
+        if self.pending is not None:
+            self.pending.join()
+            object.__setattr__(self, "pending", None)
+        return self
 
     @property
     def n_rows(self) -> int:
@@ -94,10 +151,12 @@ class EllMatrix:
         return self.ids.shape[1]
 
     def nnz_per_row(self) -> np.ndarray:
+        self.wait_ready()
         return (self.ids >= 0).sum(axis=1)
 
     def to_dense(self) -> np.ndarray:
         """Dense (n_rows, n_terms) float64 matrix -- for conformance tests."""
+        self.wait_ready()
         out = np.zeros((self.n_rows, self.n_terms), dtype=np.float64)
         r, k = np.nonzero(self.ids >= 0)
         out[r, self.ids[r, k]] = self.vals64[r, k]
@@ -108,6 +167,8 @@ class EllMatrix:
         string_grouper.py:433-440).  Summation runs in ascending-term order,
         matching CSR elementwise-multiply row sums."""
         assert self.n_rows == other.n_rows
+        self.wait_ready()
+        other.wait_ready()
         out = np.zeros(self.n_rows, dtype=np.float64)
         # Merge per row: both id lists ascending.  Vectorized via searchsorted
         # row-block trick: compare every slot of self against other's slots.
@@ -265,6 +326,7 @@ class TfidfEncoder:
         rr = _native_raw(strings)
         if rr is None:
             return None
+        _join_pending_fill()
         raw, roff = rr
         keep, lut = _native_luts(self.config)
         n_rows = len(strings)
@@ -283,8 +345,9 @@ class TfidfEncoder:
         self._dev_tables = None
         self.n_docs_ = n_rows
         self.idf_ = np.log((1.0 + n_rows) / (1.0 + df)) + 1.0
+        src = self._device_payload(lib, n_rows)
         ell = self._native_phase2(lib, n_rows, max_w, vocab_n)
-        return replace(ell, device_src=self._device_payload(lib, n_rows))
+        return replace(ell, device_src=src)
 
     def _native_transform(self, strings: list) -> Optional[EllMatrix]:
         if self._packed_bits != 8:
@@ -295,6 +358,7 @@ class TfidfEncoder:
         rr = _native_raw(strings)
         if rr is None:
             return None
+        _join_pending_fill()
         raw, roff = rr
         keep, lut = _native_luts(self.config)
         n_rows = len(strings)
@@ -304,17 +368,35 @@ class TfidfEncoder:
             raw, roff, n_rows, keep, lut, self.config.ngram_size,
             keys32, len(keys32), info,
         )
+        src = self._device_payload(lib, n_rows)
         ell = self._native_phase2(lib, n_rows, int(info[1]), len(keys32))
-        return replace(ell, device_src=self._device_payload(lib, n_rows))
+        return replace(ell, device_src=src)
 
     def _native_phase2(
         self, lib, n_rows: int, max_w: int, n_terms: int
     ) -> EllMatrix:
+        """ELL value fill, DEFERRED to a worker thread: the caller gets a
+        ``pending`` matrix (preallocated arrays) immediately, so the device
+        payload upload + phase-1 scan start without waiting for the
+        corpus-sized fill -- which is also the most page-fault-sensitive
+        host stage (docs/performance.md "memory weather").  Every host
+        reader of ids/vals64 joins via ``EllMatrix.wait_ready``; the next
+        native encode call joins via ``_join_pending_fill`` (the native
+        scratch state is per-process)."""
+        global _PENDING_FILL
         width = max(8, _round_up(max_w, 8))
         ids = np.empty((n_rows, width), dtype=np.int32)
         vals = np.empty((n_rows, width), dtype=np.float64)
-        lib.encode_phase2(np.ascontiguousarray(self.idf_), width, ids, vals)
-        return EllMatrix(ids=ids, vals64=vals, n_terms=n_terms)
+        idf = np.ascontiguousarray(self.idf_)
+
+        def fill():
+            lib.encode_phase2(idf, width, ids, vals)
+
+        pending = _DeferredFill(fill)
+        _PENDING_FILL = pending
+        return EllMatrix(
+            ids=ids, vals64=vals, n_terms=n_terms, pending=pending
+        )
 
     def _device_tables(self):
         """(code_lut, table_id, idf32, base) for DeviceEncodeSrc, derived
@@ -372,11 +454,17 @@ class TfidfEncoder:
             ngram=self.config.ngram_size,
         )
 
-    def fit_transform(self, strings: Sequence[str]) -> EllMatrix:
+    def fit_transform(
+        self, strings: Sequence[str], *, defer_fill: bool = False
+    ) -> EllMatrix:
+        """Fit + encode.  ``defer_fill`` (engine path) returns immediately
+        with the native value fill still running on a worker thread (the
+        matrix carries the join handle); the default joins, so direct
+        callers always see materialized arrays."""
         strings = list(strings)
         native = self._native_fit_transform(strings)
         if native is not None:
-            return native
+            return native if defer_fill else native.wait_ready()
         corpus = clean_corpus(strings, self.config)
         keys, row_ids, n_rows, bits = self._corpus_keys(corpus, None)
         if len(keys) == 0:
@@ -416,13 +504,15 @@ class TfidfEncoder:
 
         return self._encode(rows, terms, tf, n_rows, n_terms)
 
-    def transform(self, strings: Sequence[str]) -> EllMatrix:
+    def transform(
+        self, strings: Sequence[str], *, defer_fill: bool = False
+    ) -> EllMatrix:
         if self.vocab_keys_ is None:
             raise RuntimeError("TfidfEncoder.transform called before fit")
         strings = list(strings)
         native = self._native_transform(strings)
         if native is not None:
-            return native
+            return native if defer_fill else native.wait_ready()
         corpus = clean_corpus(strings, self.config)
         if self._packed_bits is not None:
             keys, row_ids, _, _ = self._corpus_keys(corpus, self._packed_bits)
@@ -447,7 +537,11 @@ class TfidfEncoder:
         return self._encode(rows, terms, tf, corpus.n_rows, n_terms)
 
     def fit_transform_pair(
-        self, master: Sequence[str], duplicates: Optional[Sequence[str]]
+        self,
+        master: Sequence[str],
+        duplicates: Optional[Sequence[str]],
+        *,
+        defer_fill: bool = False,
     ) -> Tuple[EllMatrix, EllMatrix]:
         """Fit on concat(master, duplicates) and encode both sides.
 
@@ -455,19 +549,28 @@ class TfidfEncoder:
         (string_grouper.py:685-707): one shared vocabulary/IDF, fit on the
         concatenation, each side transformed separately.  For a self-join the
         second return value is the first.
+
+        ``defer_fill`` (the engine's match path) may return matrices whose
+        value fill is still running on a worker thread so the device scan
+        starts immediately; see :meth:`fit_transform`.
         """
         master = list(master)
         if duplicates is None:
-            m = self.fit_transform(master)
+            m = self.fit_transform(master, defer_fill=defer_fill)
             return m, m
         duplicates = list(duplicates)
-        both = self.fit_transform(master + duplicates)
+        both = self.fit_transform(master + duplicates, defer_fill=defer_fill)
+        if not defer_fill:
+            both.wait_ready()
         n_m = len(master)
         src = both.device_src
+        # Row-slice views share the (possibly still filling) buffers, so
+        # the deferred-fill handle propagates to both sides.
         m = EllMatrix(
             ids=both.ids[:n_m], vals64=both.vals64[:n_m],
             n_terms=both.n_terms,
             device_src=src.slice_rows(0, n_m) if src is not None else None,
+            pending=both.pending,
         )
         d = EllMatrix(
             ids=both.ids[n_m:], vals64=both.vals64[n_m:],
@@ -475,6 +578,7 @@ class TfidfEncoder:
             device_src=(
                 src.slice_rows(n_m, both.n_rows) if src is not None else None
             ),
+            pending=both.pending,
         )
         return m, d
 

@@ -196,9 +196,14 @@ class StringGrouper:
                     self._config.mesh,
                 )
             else:
+                # defer_fill: the corpus-sized ELL value fill runs on a
+                # worker thread while the device payload uploads and the
+                # phase-1 scan starts; the matcher's first exact rescore
+                # joins it (EllMatrix.wait_ready).
                 master_ell, dupes_ell = self._encoder.fit_transform_pair(
                     list(self._master),
                     None if is_self else list(self._duplicates),
+                    defer_fill=True,
                 )
         self._master_ell = master_ell
         self._dupes_ell = None if is_self else dupes_ell

@@ -117,10 +117,12 @@ def _next_pow2(x: int) -> int:
 def _pad_width(ell: EllMatrix, width: int) -> EllMatrix:
     if ell.width == width:
         return ell
+    ell.wait_ready()  # np.pad copies: the deferred fill must be complete
     pad = width - ell.width
     ids = np.pad(ell.ids, ((0, 0), (0, pad)), constant_values=-1)
     vals = np.pad(ell.vals64, ((0, 0), (0, pad)))
-    return EllMatrix(ids=ids, vals64=vals, n_terms=ell.n_terms)
+    return EllMatrix(ids=ids, vals64=vals, n_terms=ell.n_terms,
+                     device_src=ell.device_src)
 
 
 def effective_threshold(min_similarity: float) -> np.float32:

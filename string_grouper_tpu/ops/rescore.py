@@ -28,6 +28,11 @@ def rescore_pairs_fp64(
     out = np.empty(len(rows), dtype=np.float64)
     if len(rows) == 0:
         return out
+    # The encoder may still be filling ids/vals64 on its worker thread
+    # (deferred phase 2 overlapping the device scan); join here -- this is
+    # the first host reader on the match path.
+    left.wait_ready()
+    right.wait_ready()
     lib = get_scorer_lib()
     if lib is not None:
         lib.score_pairs_f64(
@@ -63,6 +68,8 @@ def row_dot_fp64(left: EllMatrix, right: EllMatrix) -> np.ndarray:
     """Row-wise exact float64 dot of two equal-length ELL matrices
     (reference ``dot()``, string_grouper.py:433-440)."""
     assert left.n_rows == right.n_rows
+    left.wait_ready()
+    right.wait_ready()
     lib = get_scorer_lib()
     if lib is not None:
         out = np.empty(left.n_rows, dtype=np.float64)

@@ -239,6 +239,7 @@ class StringGrouper:
                     hash_dim=self._config.hash_dim,
                     left_chunk=self._config.left_chunk,
                     right_tile=self._config.right_tile,
+                    score_dtype=self._config.tfidf_matrix_dtype,
                 )
             else:
                 pairs = topn_cosine_matches(
@@ -251,6 +252,7 @@ class StringGrouper:
                     topn_slack=self._config.topn_slack,
                     left_chunk=self._config.left_chunk,
                     right_tile=self._config.right_tile,
+                    score_dtype=self._config.tfidf_matrix_dtype,
                 )
         from .ops.matcher import LAST_STATS
 
@@ -280,9 +282,9 @@ class StringGrouper:
         )
         from .ops.rescore import row_dot_fp64
 
-        sims = row_dot_fp64(master_ell, dupes_ell).astype(
-            self._config.tfidf_matrix_dtype
-        )
+        sims = row_dot_fp64(
+            master_ell, dupes_ell, acc_dtype=self._config.tfidf_matrix_dtype
+        ).astype(self._config.tfidf_matrix_dtype)
         return pd.Series(sims, name="similarity", index=self._master.index)
 
     # --------------------------------------------------------------- outputs

@@ -111,6 +111,8 @@ def get_scorer_lib() -> Optional[ctypes.CDLL]:
     lib.row_dot_f64.argtypes = [
         p_i32, p_f64, i64, p_i32, p_f64, i64, i64, p_f64,
     ]
+    lib.score_pairs_f32_acc.restype = None
+    lib.score_pairs_f32_acc.argtypes = lib.score_pairs_f64.argtypes
     p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
     lib.hash_project_bf16.restype = None

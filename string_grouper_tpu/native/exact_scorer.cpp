@@ -99,6 +99,43 @@ void score_pairs_f64(
     }
 }
 
+// float32-accumulation twin of score_pairs_f64: the reference's
+// sp_matmul_topn accumulates in the MATRIX dtype (float for
+// tfidf_matrix_dtype=float32; its dense column accumulator receives
+// contributions in ascending shared-term order, the same order as this
+// merge), so float32 configurations must round at every add.  Values
+// arrive as float64 holding exactly-representable float32s; out is their
+// exact float64 promotion.
+void score_pairs_f32_acc(
+    const int32_t* a_ids, const double* a_vals, int64_t a_width,
+    const int32_t* b_ids, const double* b_vals, int64_t b_width,
+    const int64_t* rows, const int64_t* cols, int64_t n_pairs,
+    double* out)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t p = 0; p < n_pairs; ++p) {
+        const int32_t* ai = a_ids + rows[p] * a_width;
+        const double*  av = a_vals + rows[p] * a_width;
+        const int32_t* bi = b_ids + cols[p] * b_width;
+        const double*  bv = b_vals + cols[p] * b_width;
+        float acc = 0.0f;
+        int64_t i = 0, j = 0;
+        while (i < a_width && j < b_width) {
+            int32_t ta = ai[i], tb = bi[j];
+            if (ta < 0 || tb < 0) break;
+            if (ta == tb) {
+                acc += float(av[i]) * float(bv[j]);
+                ++i; ++j;
+            } else if (ta < tb) {
+                ++i;
+            } else {
+                ++j;
+            }
+        }
+        out[p] = double(acc);
+    }
+}
+
 // Wire-format packing of ELL rows for the phase-1 upload
 // (ops/matcher.py pack_hash_inputs semantics): slot = (bucket << 16) | qval
 // with bucket the Knuth multiplicative hash of the term id into

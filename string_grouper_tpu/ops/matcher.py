@@ -1331,6 +1331,7 @@ def adaptive_topn(
     c0: int,
     kt0: int,
     phase1_run_rows=None,
+    score_dtype=np.float64,
 ) -> MatchPairs:
     """Adaptive driver shared by the single-chip and distributed paths.
 
@@ -1347,6 +1348,12 @@ def adaptive_topn(
 
     n_left = left.n_rows
     max_n_eff = min(max_n, right.n_rows)
+    if np.dtype(score_dtype) == np.float32:
+        # The reference thresholds inside sp_matmul_topn with the threshold
+        # cast to the MATRIX dtype, so float32 configurations must compare
+        # against the float32-rounded threshold (its exact f64 promotion
+        # here -- scores are f32-valued too, so the comparison is exact).
+        min_similarity = float(np.float32(min_similarity))
     qual_low = min_similarity if min_similarity > 0 else 0.0
     c, kt = c0, kt0
     LAST_STATS.clear()
@@ -1433,7 +1440,9 @@ def adaptive_topn(
                 break
             r_g, cl_g, base, m_g, bound_g, counts_g, tmax_g, mc_g = item
             t0 = _time.perf_counter()
-            sims_g = rescore_pairs_fp64(left, right, r_g, cl_g)
+            sims_g = rescore_pairs_fp64(
+                left, right, r_g, cl_g, acc_dtype=score_dtype
+            )
             stats["rescore"] += _time.perf_counter() - t0
             stats["pairs_scored"] += len(r_g)
             counts[base : base + m_g] = counts_g
@@ -1522,7 +1531,9 @@ def adaptive_topn(
             stats["esc_wait"] += _time.perf_counter() - t0
             g_rows = g.astype(np.int64)[rows_pos]
             t0 = _time.perf_counter()
-            parts_s.append(rescore_pairs_fp64(left, right, g_rows, g_cols))
+            parts_s.append(rescore_pairs_fp64(
+                left, right, g_rows, g_cols, acc_dtype=score_dtype
+            ))
             stats["rescore"] += _time.perf_counter() - t0
             parts_r.append(g_rows)
             parts_c.append(g_cols)
@@ -1766,6 +1777,7 @@ def topn_cosine_matches(
     topn_slack: int = 8,  # legacy knob; selection is now always complete
     left_chunk: int = 4096,
     right_tile: int = 4096,
+    score_dtype=np.float64,
 ) -> MatchPairs:
     """Full matcher: returns the reference-equivalent matches list.
 
@@ -1790,7 +1802,7 @@ def topn_cosine_matches(
     pairs = adaptive_topn(
         run, left, right_m, min_similarity, max_n,
         c_cap=n_right_p, kt_cap=tile, n_tiles=n_tiles, c0=c0, kt0=kt0,
-        phase1_run_rows=run_rows,
+        phase1_run_rows=run_rows, score_dtype=score_dtype,
     )
     if is_self and force_symmetries:
         return apply_self_join_fixups(pairs, left.n_rows)

@@ -563,6 +563,7 @@ def distributed_topn_cosine_matches(
     hash_dim: int = 512,
     left_chunk: int = 4096,
     right_tile: int = 4096,
+    score_dtype=np.float64,
 ) -> MatchPairs:
     """Mesh-sharded version of ops.matcher.topn_cosine_matches.
 
@@ -585,7 +586,7 @@ def distributed_topn_cosine_matches(
     pairs = adaptive_topn(
         run, left, right_m, min_similarity, max_n,
         c_cap=n_loc, kt_cap=tile, n_tiles=n_tiles_loc, c0=c0, kt0=kt0,
-        phase1_run_rows=run_rows,
+        phase1_run_rows=run_rows, score_dtype=score_dtype,
     )
     if is_self and force_symmetries:
         return apply_self_join_fixups(pairs, left.n_rows)

@@ -103,3 +103,63 @@ def test_fuzz_cross_join(seed):
     np.testing.assert_allclose(
         [got_pairs[k] for k in ks], [expected[k] for k in ks], rtol=1e-12
     )
+
+# ---------------------------------------------------------------- float32
+def fuzz_oracle_pairs_f32(left, right, min_similarity, max_n, is_self):
+    """float32 twin of the oracle: scores accumulate in float32 in ascending
+    term order (the reference's sp_matmul_topn accumulates in the MATRIX
+    dtype, reference string_grouper.py:306, :725-732) and the threshold
+    compares against the float32-rounded value."""
+    b = left if is_self else right
+    n_l, n_r = left.n_rows, b.n_rows
+    rr, cc = np.divmod(np.arange(n_l * n_r), n_r)
+    sims = rescore_pairs_fp64(
+        left, b, rr, cc, acc_dtype=np.float32
+    ).reshape(n_l, n_r)
+    thr = float(np.float32(min_similarity))
+    keep = (sims > 0) & (sims >= thr)
+    pairs = {}
+    for i in range(n_l):
+        cols = np.nonzero(keep[i])[0]
+        order = sorted(cols, key=lambda c: (-sims[i, c], c))[:max_n]
+        for c in order:
+            pairs[(i, c)] = sims[i, c]
+    if is_self:
+        sym = {}
+        for (i, c), v in pairs.items():
+            if i != c:
+                sym[(i, c)] = v
+                sym[(c, i)] = v
+        for i in range(n_l):
+            sym[(i, i)] = 1.0
+        pairs = sym
+    return pairs
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_self_join_float32(seed):
+    """End-to-end float32 configuration vs the f32-accumulation oracle
+    (VERDICT r2 item 6): matrix values, score accumulation, and the
+    threshold comparison all round at float32."""
+    rng = np.random.default_rng(2000 + seed)
+    strings = planted_corpus(rng)
+    min_similarity = float(rng.choice([0.0, 0.3, 0.7, 0.8]))
+    max_n = int(rng.choice([1, 2, 5, 20]))
+    cfg = StringGrouperConfig(tfidf_matrix_dtype=np.float32)
+    enc = TfidfEncoder(cfg)
+    ell, _ = enc.fit_transform_pair(strings, None)
+    got = topn_cosine_matches(
+        ell, None, min_similarity, max_n, score_dtype=np.float32
+    )
+    expected = fuzz_oracle_pairs_f32(ell, None, min_similarity, max_n, True)
+    got_pairs = {
+        (int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)
+    }
+    assert set(got_pairs) == set(expected), (
+        f"seed={seed}: {len(set(expected) - set(got_pairs))} missing, "
+        f"{len(set(got_pairs) - set(expected))} extra"
+    )
+    ks = sorted(expected)
+    np.testing.assert_array_equal(
+        [got_pairs[k] for k in ks], [expected[k] for k in ks]
+    )

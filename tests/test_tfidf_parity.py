@@ -245,8 +245,12 @@ def test_float32_matrix_matches_sklearn_bitwise(name):
 
 
 def test_float32_pairwise_similarities_match_f32_reference():
-    """compute_pairwise_similarities under f32 equals the f32-rounded
-    reference computation on the customers fixture."""
+    """compute_pairwise_similarities under f32 equals the reference's own
+    chain on the customers fixture: scipy ``multiply().sum(axis=1)`` on
+    sklearn's float32 matrices (reference string_grouper.py:433-440), which
+    ACCUMULATES in float32 (scipy's axis-1 sum is a csr matvec in the
+    matrix dtype) -- identical strings therefore report 1.0000001, not 1.0,
+    exactly like the reference."""
     import string_grouper_tpu as sgt
 
     s1 = pd.Series(CORPORA["customers"])
@@ -257,11 +261,11 @@ def test_float32_pairwise_similarities_match_f32_reference():
         analyzer=lambda s: reference_ngrams(s, config),
         dtype=np.float32,
     )
-    both = vec.fit_transform(list(s1) + list(s2))
-    a, b = both[: len(s1)].toarray(), both[len(s1):].toarray()
-    expected = (
-        (a.astype(np.float64) * b.astype(np.float64)).sum(axis=1)
-    ).astype(np.float32)
+    vec.fit(list(s1) + list(s2))
+    a, b = vec.transform(s1), vec.transform(s2)
+    expected = np.asarray(
+        a.multiply(b).sum(axis=1), dtype=np.float32
+    ).ravel()
     got = sgt.compute_pairwise_similarities(
         s1, s2, tfidf_matrix_dtype=np.float32
     )

@@ -103,8 +103,58 @@ def synthetic_company_names(n: int, seed: int = 42) -> pd.Series:
     return pd.Series(out)
 
 
+def skewed_company_names(n: int, seed: int = 43) -> pd.Series:
+    """Heavier skew than the headline corpus: ~30 clusters of ~2,000
+    near-identical members (exercising the escalation driver's wide-count
+    paths at scale) on top of the normal cluster structure."""
+    base = synthetic_company_names(n, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    out = list(base)
+    n_hot = min(30, max(1, n // 20000))
+    size = min(2000, max(2, n // 300))
+    pos = rng.choice(n, size=n_hot * size, replace=False)
+    for k in range(n_hot):
+        text = f"megacluster {k} holdings international corp"
+        for p in pos[k * size : (k + 1) * size]:
+            out[p] = text
+    return pd.Series(out)
+
+
+def long_company_names(n: int, seed: int = 44) -> pd.Series:
+    """Longer strings (~3x the headline corpus): heavier encode, upload,
+    and exact-rescore legs per row."""
+    a = synthetic_company_names(n, seed=seed)
+    b = synthetic_company_names(n, seed=seed + 1)
+    c = synthetic_company_names(n, seed=seed + 2)
+    return pd.Series(
+        [f"{x} division of {y} formerly {z}" for x, y, z in zip(a, b, c)]
+    )
+
+
+def unicode_company_names(n: int, seed: int = 45) -> pd.Series:
+    """Unicode mix (accented vowels, NFKD-foldable): disqualifies the
+    native ASCII encoder, exercising the numpy clean/tokenize path and the
+    packed-slot (no byte-payload) upload at scale."""
+    base = synthetic_company_names(n, seed=seed)
+    table = str.maketrans({"a": "á", "e": "é", "o": "ö", "u": "ü"})
+    rng = np.random.default_rng(seed)
+    accent = rng.random(n) < 0.5
+    return pd.Series(
+        [s.translate(table) if accent[i] else s for i, s in enumerate(base)]
+    )
+
+
+SHAPES = {
+    "company": synthetic_company_names,
+    "skewed": skewed_company_names,
+    "long": long_company_names,
+    "unicode": unicode_company_names,
+}
+
+
 def main() -> None:
     task = os.environ.get("BENCH_TASK", "match")
+    shape = os.environ.get("BENCH_SHAPE", "company")
     default_n = "663000" if task == "match" else "100000"
     n = int(os.environ.get("BENCH_N", default_n))
     os.makedirs(".jax_cache", exist_ok=True)
@@ -134,14 +184,15 @@ def main() -> None:
         )
         return out
 
+    stem = "company_names" if shape == "company" else f"{shape}_names"
     if task == "group":
         # Full dedup pipeline (matcher + on-device connected components +
         # centroid representatives), BASELINE.json config #4.
-        metric = f"company_names_{n}_group_dedup_wall"
+        metric = f"{stem}_{n}_group_dedup_wall"
     else:
-        metric = f"company_names_{n}_selfmatch_wall"
+        metric = f"{stem}_{n}_selfmatch_wall"
 
-    series = synthetic_company_names(n)
+    series = SHAPES[shape](n)
 
     if not os.environ.get("BENCH_SKIP_WARMUP"):
         # Full-size warmups so the timed runs measure steady-state

@@ -242,6 +242,14 @@ class StringGrouper:
                     score_dtype=self._config.tfidf_matrix_dtype,
                 )
             else:
+                # Duplicate-collapse coding: exactly-equal strings share one
+                # matcher row (ops/matcher.py topn_cosine_matches); the
+                # expansion back to original rows is exact, so this is a
+                # pure wall-clock optimization.
+                left_codes, _ = pd.factorize(self._master)
+                right_codes = None
+                if not is_self:
+                    right_codes, _ = pd.factorize(self._duplicates)
                 pairs = topn_cosine_matches(
                     master_ell,
                     self._dupes_ell,
@@ -253,6 +261,8 @@ class StringGrouper:
                     left_chunk=self._config.left_chunk,
                     right_tile=self._config.right_tile,
                     score_dtype=self._config.tfidf_matrix_dtype,
+                    left_codes=left_codes,
+                    right_codes=right_codes,
                 )
         from .ops.matcher import LAST_STATS
 

@@ -1026,6 +1026,15 @@ def triangular_enabled() -> bool:
 
 
 # -------------------------------------------------------------- host driver
+@partial(jax.jit, static_argnames=("n_valid", "n_pad"))
+def _gather_pad_rows(h: jax.Array, idx: jax.Array, n_valid: int, n_pad: int):
+    """Device gather of selected rows, zero-padded to ``n_pad`` (padding
+    rows must be all-zero so they can never qualify)."""
+    g = h[idx]
+    valid = (jnp.arange(n_pad) < n_valid)[:, None]
+    return jnp.where(valid, g, 0)
+
+
 def _phase1_single(
     left: EllMatrix,
     right: EllMatrix,
@@ -1033,11 +1042,20 @@ def _phase1_single(
     hash_dim: int,
     left_chunk: int,
     right_tile: int,
+    left_sel: Optional[np.ndarray] = None,
+    right_sel: Optional[np.ndarray] = None,
 ):
     """Build device-resident hash matrices once; return a phase-1 callable
     ``run(thr_eff, cand_c, k_tile) -> (cols, ub_last, counts, max_cnt)``
-    plus the growth caps (c_cap, kt_cap)."""
-    n_left, n_right = left.n_rows, right.n_rows
+    plus the growth caps (c_cap, kt_cap).
+
+    ``left_sel`` / ``right_sel`` (duplicate-collapse layer, see
+    ``topn_cosine_matches``): row selectors into the matrices -- the hash
+    matrix is built for the full corpus (the encoder's device payload is
+    corpus-shaped) and the selected rows are gathered ON DEVICE, so the
+    scan runs over unique rows only."""
+    n_left = left.n_rows if left_sel is None else len(left_sel)
+    n_right = right.n_rows if right_sel is None else len(right_sel)
     tile = min(right_tile, _next_pow2(max(n_right, 8)))
     n_right_p = -(-n_right // tile) * tile
     chunk = min(left_chunk, _next_pow2(max(n_left, 8)))
@@ -1045,14 +1063,27 @@ def _phase1_single(
 
     on_tpu = jax.devices()[0].platform == "tpu"
 
-    b_hash = build_hash_matrix(right, n_right_p, hash_dim)
+    if right_sel is None:
+        b_hash = build_hash_matrix(right, n_right_p, hash_dim)
+    else:
+        b_full = build_hash_matrix(right, right.n_rows, hash_dim)
+        idx = np.zeros(n_right_p, dtype=np.int32)
+        idx[:n_right] = right_sel
+        b_hash = _gather_pad_rows(b_full, jnp.asarray(idx), n_right, n_right_p)
     b_hash_tiles = b_hash.reshape(n_right_p // tile, tile, hash_dim)
     if is_self and n_left_p <= n_right_p:
         a_hash_chunks = b_hash[:n_left_p].reshape(-1, chunk, hash_dim)
-    else:
+    elif left_sel is None:
         a_hash_chunks = build_hash_matrix(left, n_left_p, hash_dim).reshape(
             -1, chunk, hash_dim
         )
+    else:
+        a_full = build_hash_matrix(left, left.n_rows, hash_dim)
+        idx = np.zeros(n_left_p, dtype=np.int32)
+        idx[:n_left] = left_sel
+        a_hash_chunks = _gather_pad_rows(
+            a_full, jnp.asarray(idx), n_left, n_left_p
+        ).reshape(-1, chunk, hash_dim)
 
     # Segment the left side so host-side exact scoring of one segment
     # overlaps the device matching of the next (JAX dispatches are async;
@@ -1068,8 +1099,6 @@ def _phase1_single(
         n_chunks += extra
     n_seg = n_chunks // cpg
     seg_rows = cpg * chunk
-
-    n_right = right.n_rows
 
     def run_stream_tri(thr_eff, cand_c):
         """Triangular self-join pass, segment-streamed: per segment of left
@@ -1332,8 +1361,17 @@ def adaptive_topn(
     kt0: int,
     phase1_run_rows=None,
     score_dtype=np.float64,
+    left_map: Optional[np.ndarray] = None,
+    right_map: Optional[np.ndarray] = None,
+    n_left: Optional[int] = None,
+    n_right: Optional[int] = None,
 ) -> MatchPairs:
     """Adaptive driver shared by the single-chip and distributed paths.
+
+    ``left_map`` / ``right_map`` (duplicate-collapse layer): phase-1 row and
+    column ids index UNIQUE rows; the maps translate them to representative
+    rows of the original matrices for the exact rescore.  ``n_left`` /
+    ``n_right`` are then the unique counts.
 
     The device reports, per row, an upper bound on every candidate it
     DROPPED (per-tile k_tile overflow or top-C truncation; -inf when
@@ -1346,8 +1384,16 @@ def adaptive_topn(
     """
     import time as _time
 
-    n_left = left.n_rows
-    max_n_eff = min(max_n, right.n_rows)
+    if n_left is None:
+        n_left = left.n_rows
+    if n_right is None:
+        n_right = right.n_rows
+    max_n_eff = min(max_n, n_right)
+
+    def rescore(rows, cols):
+        r = rows if left_map is None else left_map[rows]
+        c = cols if right_map is None else right_map[cols]
+        return rescore_pairs_fp64(left, right, r, c, acc_dtype=score_dtype)
     if np.dtype(score_dtype) == np.float32:
         # The reference thresholds inside sp_matmul_topn with the threshold
         # cast to the MATRIX dtype, so float32 configurations must compare
@@ -1440,9 +1486,7 @@ def adaptive_topn(
                 break
             r_g, cl_g, base, m_g, bound_g, counts_g, tmax_g, mc_g = item
             t0 = _time.perf_counter()
-            sims_g = rescore_pairs_fp64(
-                left, right, r_g, cl_g, acc_dtype=score_dtype
-            )
+            sims_g = rescore(r_g, cl_g)
             stats["rescore"] += _time.perf_counter() - t0
             stats["pairs_scored"] += len(r_g)
             counts[base : base + m_g] = counts_g
@@ -1531,9 +1575,7 @@ def adaptive_topn(
             stats["esc_wait"] += _time.perf_counter() - t0
             g_rows = g.astype(np.int64)[rows_pos]
             t0 = _time.perf_counter()
-            parts_s.append(rescore_pairs_fp64(
-                left, right, g_rows, g_cols, acc_dtype=score_dtype
-            ))
+            parts_s.append(rescore(g_rows, g_cols))
             stats["rescore"] += _time.perf_counter() - t0
             parts_r.append(g_rows)
             parts_c.append(g_cols)
@@ -1668,7 +1710,7 @@ def adaptive_topn(
             pending, rows_s, cols_s, sims_s
         )
     if len(rows_s):
-        true_max = int(np.bincount(rows_s, minlength=left.n_rows).max(initial=0))
+        true_max = int(np.bincount(rows_s, minlength=n_left).max(initial=0))
     else:
         true_max = 0
     return MatchPairs(
@@ -1766,6 +1808,93 @@ def order_like_reference_csr(pairs: MatchPairs) -> MatchPairs:
     )
 
 
+# ------------------------------------------------ duplicate-collapse layer
+def _group_positions(codes: np.ndarray):
+    """Per-group position lists of a duplicate coding.
+
+    Returns ``(codes, first, perm, starts, counts)``: codes RELABELED so
+    group ids ascend by first occurrence (group id order == min-position
+    order -- the invariant the expansion's tie-break proof needs), the
+    first (= minimum) position per group, and the positions of every group
+    as ``perm[starts[g] : starts[g] + counts[g]]`` (ascending within a
+    group)."""
+    codes = np.ascontiguousarray(codes, dtype=np.int64)
+    n = len(codes)
+    u = int(codes.max()) + 1 if n else 0
+    perm = np.argsort(codes, kind="stable")
+    counts = np.bincount(codes, minlength=u)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    first = perm[starts]
+    if not (first[1:] > first[:-1]).all():
+        # Relabel to first-occurrence order (pd.factorize already provides
+        # it; arbitrary codings are normalized here).
+        order = np.argsort(first, kind="stable")
+        rank = np.empty(u, dtype=np.int64)
+        rank[order] = np.arange(u)
+        return _group_positions(rank[codes])
+    return codes, first.astype(np.int32), perm, starts, counts
+
+
+def _expand_dedup(
+    pairs_u: MatchPairs,
+    codes_l: np.ndarray,
+    perm_r: np.ndarray,
+    starts_r: np.ndarray,
+    counts_r: np.ndarray,
+    u_left: int,
+    n_left: int,
+    min_similarity: float,
+    max_n_eff: int,
+) -> MatchPairs:
+    """Expand unique-level matches back to original rows, exactly.
+
+    Stage 1 expands each unique-level pair (g, h, s) to (g, c, s) for every
+    original position c of group h; stage 2 re-selects the per-group top-n
+    over the expanded columns (ties at equal similarity interleave position
+    lists of different groups, so selection must run on original column
+    ids); stage 3 replicates each group's selection to all of its original
+    left rows (duplicates have identical candidate sets by construction).
+
+    Exactness of stage 1's input: the unique-level driver keeps, per group,
+    the top ``max_n_eff`` candidates by (similarity desc, group id asc)
+    with group ids ordered by minimum position.  The k groups with the
+    smallest minimum positions own the k smallest expanded columns at any
+    tie (if a group owning one of the k smallest positions were outside
+    the k smallest-min-position groups, at least k groups would each
+    contribute a strictly smaller position -- contradiction), so the
+    expanded top ``max_n_eff`` is covered.
+    """
+    hu = pairs_u.cols
+    cnt = counts_r[hu]
+    tot = int(cnt.sum())
+    rows_e = np.repeat(pairs_u.rows, cnt)
+    sims_e = np.repeat(pairs_u.sims, cnt)
+    base = np.repeat(starts_r[hu], cnt)
+    cum = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    within = np.arange(tot, dtype=np.int64) - np.repeat(cum, cnt)
+    cols_e = perm_r[base + within]
+    r2, c2, s2, _, _ = _select_topn(
+        rows_e, cols_e, sims_e, u_left, min_similarity, max_n_eff
+    )
+    sel_cnt = np.bincount(r2, minlength=u_left)
+    sel_starts = np.concatenate(([0], np.cumsum(sel_cnt)[:-1]))
+    rep = sel_cnt[codes_l]
+    tot2 = int(rep.sum())
+    rows_f = np.repeat(np.arange(n_left, dtype=np.int64), rep)
+    base2 = np.repeat(sel_starts[codes_l], rep)
+    cum2 = np.concatenate(([0], np.cumsum(rep)[:-1]))
+    within2 = np.arange(tot2, dtype=np.int64) - np.repeat(cum2, rep)
+    cols_f = c2[base2 + within2]
+    sims_f = s2[base2 + within2]
+    if len(rows_f):
+        true_max = int(np.bincount(rows_f, minlength=n_left).max())
+    else:
+        true_max = 0
+    return MatchPairs(
+        rows=rows_f, cols=cols_f, sims=sims_f, true_max_n_matches=true_max
+    )
+
+
 def topn_cosine_matches(
     left: EllMatrix,
     right: Optional[EllMatrix],
@@ -1778,11 +1907,23 @@ def topn_cosine_matches(
     left_chunk: int = 4096,
     right_tile: int = 4096,
     score_dtype=np.float64,
+    left_codes: Optional[np.ndarray] = None,
+    right_codes: Optional[np.ndarray] = None,
 ) -> MatchPairs:
     """Full matcher: returns the reference-equivalent matches list.
 
     ``right=None`` means self-join (reference: duplicate_matrix = master
     matrix, string_grouper.py:693-695).
+
+    ``left_codes`` / ``right_codes`` enable the duplicate-collapse layer:
+    a group coding of exactly-equal input strings (e.g. ``pd.factorize``).
+    Identical strings have identical TF-IDF rows, hence identical
+    similarities to everything -- so the device scan, downloads, and exact
+    rescore all run over UNIQUE rows only, and the results expand back to
+    original rows on the host (``_expand_dedup``, with the tie-break
+    argument in its docstring).  Output is bitwise-identical to the
+    uncollapsed path; tie-heavy corpora (clusters of equal strings) shrink
+    from O(cluster^2) shipped candidates to O(unique^2).
     """
     del topn_slack
     is_self = right is None
@@ -1794,16 +1935,64 @@ def topn_cosine_matches(
     right_m = left if is_self else _pad_width(right_m, width)
     max_n = right_m.n_rows if max_n_matches is None else max_n_matches
 
-    run, run_rows, n_right_p, tile, n_tiles = _phase1_single(
-        left, right_m, is_self, hash_dim, left_chunk, right_tile
+    dedup = (
+        left_codes is not None
+        and (is_self or right_codes is not None)
+        and len(left_codes) == left.n_rows
     )
-    c0 = initial_cand_c(min_similarity, max_n, right_m.n_rows, n_right_p)
-    kt0 = initial_k_tile(min_similarity, right_m.n_rows, tile, c0)
-    pairs = adaptive_topn(
-        run, left, right_m, min_similarity, max_n,
-        c_cap=n_right_p, kt_cap=tile, n_tiles=n_tiles, c0=c0, kt0=kt0,
-        phase1_run_rows=run_rows, score_dtype=score_dtype,
-    )
+    if dedup:
+        codes_l, first_l, perm_l, starts_l, counts_l = _group_positions(
+            left_codes
+        )
+        if is_self:
+            codes_r, first_r, perm_r, starts_r, counts_r = (
+                codes_l, first_l, perm_l, starts_l, counts_l
+            )
+        else:
+            codes_r, first_r, perm_r, starts_r, counts_r = _group_positions(
+                right_codes
+            )
+        u_left, u_right = len(first_l), len(first_r)
+        # Only pay the expansion machinery when something actually
+        # collapses.
+        dedup = u_left < left.n_rows or u_right < right_m.n_rows
+
+    if not dedup:
+        run, run_rows, n_right_p, tile, n_tiles = _phase1_single(
+            left, right_m, is_self, hash_dim, left_chunk, right_tile
+        )
+        c0 = initial_cand_c(min_similarity, max_n, right_m.n_rows, n_right_p)
+        kt0 = initial_k_tile(min_similarity, right_m.n_rows, tile, c0)
+        pairs = adaptive_topn(
+            run, left, right_m, min_similarity, max_n,
+            c_cap=n_right_p, kt_cap=tile, n_tiles=n_tiles, c0=c0, kt0=kt0,
+            phase1_run_rows=run_rows, score_dtype=score_dtype,
+        )
+    else:
+        run, run_rows, n_right_p, tile, n_tiles = _phase1_single(
+            left, right_m, is_self, hash_dim, left_chunk, right_tile,
+            left_sel=first_l, right_sel=first_r,
+        )
+        c0 = initial_cand_c(min_similarity, max_n, u_right, n_right_p)
+        kt0 = initial_k_tile(min_similarity, u_right, tile, c0)
+        pairs_u = adaptive_topn(
+            run, left, right_m, min_similarity, max_n,
+            c_cap=n_right_p, kt_cap=tile, n_tiles=n_tiles, c0=c0, kt0=kt0,
+            phase1_run_rows=run_rows, score_dtype=score_dtype,
+            left_map=first_l.astype(np.int64),
+            right_map=first_r.astype(np.int64),
+            n_left=u_left, n_right=u_right,
+        )
+        min_sim_sel = (
+            float(np.float32(min_similarity))
+            if np.dtype(score_dtype) == np.float32
+            else min_similarity
+        )
+        pairs = _expand_dedup(
+            pairs_u, codes_l, perm_r, starts_r, counts_r,
+            u_left, left.n_rows, min_sim_sel,
+            min(max_n, right_m.n_rows),
+        )
     if is_self and force_symmetries:
         return apply_self_join_fixups(pairs, left.n_rows)
     return order_like_reference_csr(pairs)

@@ -226,6 +226,14 @@ class StringGrouper:
         n_right = len(self._right_Series)
         max_n = n_right if self._max_n_matches is None else self._max_n_matches
         with self.timings.phase("match"):
+            # Duplicate-collapse coding: exactly-equal strings share one
+            # matcher row (ops/matcher.py topn_cosine_matches); the
+            # expansion back to original rows is exact, so this is a
+            # pure wall-clock optimization.
+            left_codes, _ = pd.factorize(self._master)
+            right_codes = None
+            if not is_self:
+                right_codes, _ = pd.factorize(self._duplicates)
             if self._config.mesh is not None:
                 from .parallel import distributed_topn_cosine_matches
 
@@ -240,16 +248,10 @@ class StringGrouper:
                     left_chunk=self._config.left_chunk,
                     right_tile=self._config.right_tile,
                     score_dtype=self._config.tfidf_matrix_dtype,
+                    left_codes=left_codes,
+                    right_codes=right_codes,
                 )
             else:
-                # Duplicate-collapse coding: exactly-equal strings share one
-                # matcher row (ops/matcher.py topn_cosine_matches); the
-                # expansion back to original rows is exact, so this is a
-                # pure wall-clock optimization.
-                left_codes, _ = pd.factorize(self._master)
-                right_codes = None
-                if not is_self:
-                    right_codes, _ = pd.factorize(self._duplicates)
                 pairs = topn_cosine_matches(
                     master_ell,
                     self._dupes_ell,

@@ -435,22 +435,34 @@ def _phase1_distributed(
     hash_dim: int,
     left_chunk: int,
     right_tile: int,
+    left_sel: Optional[np.ndarray] = None,
+    right_sel: Optional[np.ndarray] = None,
 ):
     """Device-resident sharded hash matrices + phase-1 closures for the
     shared adaptive driver: ``run_stream`` (segmented whole-corpus pass,
     host scoring overlapping device matching) and ``run_rows`` (per-row
     hot-row escalation under the mesh) -- the same contract as the
-    single-chip ``ops.matcher._phase1_single``."""
+    single-chip ``ops.matcher._phase1_single``, including the
+    duplicate-collapse row selectors (unique rows gathered on device)."""
+    from ..ops.matcher import _gather_pad_rows
+
     dp = mesh.shape["dp"]
     mp = mesh.shape["mp"]
-    n_left, n_right = left.n_rows, right.n_rows
+    n_left = left.n_rows if left_sel is None else len(left_sel)
+    n_right = right.n_rows if right_sel is None else len(right_sel)
 
     # Right rows: pad to mp shards of a whole number of tiles each.
     tile = min(right_tile, _next_pow2(max(-(-n_right // mp), 8)))
     n_loc = -(-n_right // (mp * tile)) * tile
     n_right_p = n_loc * mp
     n_tiles_loc = n_loc // tile
-    b_hash = build_hash_matrix(right, n_right_p, hash_dim)
+    if right_sel is None:
+        b_hash = build_hash_matrix(right, n_right_p, hash_dim)
+    else:
+        b_full = build_hash_matrix(right, right.n_rows, hash_dim)
+        idx = np.zeros(n_right_p, dtype=np.int32)
+        idx[:n_right] = right_sel
+        b_hash = _gather_pad_rows(b_full, jnp.asarray(idx), n_right, n_right_p)
     b_hash_tiles = b_hash.reshape(n_right_p // tile, tile, hash_dim)
 
     # Left rows: super-chunks of dp local chunks.
@@ -459,8 +471,13 @@ def _phase1_distributed(
     n_left_p = -(-n_left // sc) * sc
     if is_self and n_left_p <= n_right_p:
         a_hash = b_hash[:n_left_p]
-    else:
+    elif left_sel is None:
         a_hash = build_hash_matrix(left, n_left_p, hash_dim)
+    else:
+        a_full = build_hash_matrix(left, left.n_rows, hash_dim)
+        idx = np.zeros(n_left_p, dtype=np.int32)
+        idx[:n_left] = left_sel
+        a_hash = _gather_pad_rows(a_full, jnp.asarray(idx), n_left, n_left_p)
 
     # Segment the left super-chunks so host-side exact scoring of one
     # segment overlaps the device matching of the next (same policy as the
@@ -564,13 +581,20 @@ def distributed_topn_cosine_matches(
     left_chunk: int = 4096,
     right_tile: int = 4096,
     score_dtype=np.float64,
+    left_codes: Optional[np.ndarray] = None,
+    right_codes: Optional[np.ndarray] = None,
 ) -> MatchPairs:
     """Mesh-sharded version of ops.matcher.topn_cosine_matches.
 
     Produces the identical pair set for any mesh shape (the multi-chip analog
     of the reference's blocked == unblocked equivalence, reference test
-    test_string_grouper.py:191-241).
+    test_string_grouper.py:191-241).  ``left_codes``/``right_codes`` enable
+    the same duplicate-collapse layer as the single-chip matcher (see
+    ops/matcher.py) -- the collapse/expansion happens on the controller,
+    the unique-row scan under the mesh.
     """
+    from ..ops.matcher import _expand_dedup, _group_positions
+
     is_self = right is None
     right_m = left if is_self else right
     width = -(-max(left.width, right_m.width, 8) // 8) * 8
@@ -578,16 +602,62 @@ def distributed_topn_cosine_matches(
     right_m = left if is_self else _pad_width(right_m, width)
     max_n = right_m.n_rows if max_n_matches is None else max_n_matches
 
-    run, run_rows, n_loc, tile, n_tiles_loc = _phase1_distributed(
-        left, right_m, is_self, mesh, hash_dim, left_chunk, right_tile
+    dedup = (
+        left_codes is not None
+        and (is_self or right_codes is not None)
+        and len(left_codes) == left.n_rows
     )
-    c0 = initial_cand_c(min_similarity, max_n, right_m.n_rows, n_loc)
-    kt0 = initial_k_tile(min_similarity, right_m.n_rows, tile, c0)
-    pairs = adaptive_topn(
-        run, left, right_m, min_similarity, max_n,
-        c_cap=n_loc, kt_cap=tile, n_tiles=n_tiles_loc, c0=c0, kt0=kt0,
-        phase1_run_rows=run_rows, score_dtype=score_dtype,
-    )
+    if dedup:
+        codes_l, first_l, perm_l, starts_l, counts_l = _group_positions(
+            left_codes
+        )
+        if is_self:
+            codes_r, first_r, perm_r, starts_r, counts_r = (
+                codes_l, first_l, perm_l, starts_l, counts_l
+            )
+        else:
+            codes_r, first_r, perm_r, starts_r, counts_r = _group_positions(
+                right_codes
+            )
+        u_left, u_right = len(first_l), len(first_r)
+        dedup = u_left < left.n_rows or u_right < right_m.n_rows
+
+    if not dedup:
+        run, run_rows, n_loc, tile, n_tiles_loc = _phase1_distributed(
+            left, right_m, is_self, mesh, hash_dim, left_chunk, right_tile
+        )
+        c0 = initial_cand_c(min_similarity, max_n, right_m.n_rows, n_loc)
+        kt0 = initial_k_tile(min_similarity, right_m.n_rows, tile, c0)
+        pairs = adaptive_topn(
+            run, left, right_m, min_similarity, max_n,
+            c_cap=n_loc, kt_cap=tile, n_tiles=n_tiles_loc, c0=c0, kt0=kt0,
+            phase1_run_rows=run_rows, score_dtype=score_dtype,
+        )
+    else:
+        run, run_rows, n_loc, tile, n_tiles_loc = _phase1_distributed(
+            left, right_m, is_self, mesh, hash_dim, left_chunk, right_tile,
+            left_sel=first_l, right_sel=first_r,
+        )
+        c0 = initial_cand_c(min_similarity, max_n, u_right, n_loc)
+        kt0 = initial_k_tile(min_similarity, u_right, tile, c0)
+        pairs_u = adaptive_topn(
+            run, left, right_m, min_similarity, max_n,
+            c_cap=n_loc, kt_cap=tile, n_tiles=n_tiles_loc, c0=c0, kt0=kt0,
+            phase1_run_rows=run_rows, score_dtype=score_dtype,
+            left_map=first_l.astype(np.int64),
+            right_map=first_r.astype(np.int64),
+            n_left=u_left, n_right=u_right,
+        )
+        min_sim_sel = (
+            float(np.float32(min_similarity))
+            if np.dtype(score_dtype) == np.float32
+            else min_similarity
+        )
+        pairs = _expand_dedup(
+            pairs_u, codes_l, perm_r, starts_r, counts_r,
+            u_left, left.n_rows, min_sim_sel,
+            min(max_n, right_m.n_rows),
+        )
     if is_self and force_symmetries:
         return apply_self_join_fixups(pairs, left.n_rows)
     return order_like_reference_csr(pairs)

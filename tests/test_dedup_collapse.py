@@ -175,3 +175,24 @@ def test_expand_dedup_brute_force():
         (2, 0, 0.9), (2, 2, 0.9), (2, 3, 0.9),
     ]
     assert out.true_max_n_matches == 3
+
+
+def test_mesh_collapse_identical_to_single_chip():
+    """The mesh matcher with duplicate collapse must equal the single-chip
+    collapsed AND uncollapsed results exactly."""
+    from string_grouper_tpu.parallel import (
+        distributed_topn_cosine_matches,
+        make_mesh,
+    )
+
+    rng = np.random.default_rng(11)
+    strings = _dup_corpus(rng, n_base=60)
+    enc = TfidfEncoder(StringGrouperConfig())
+    m, _ = enc.fit_transform_pair(strings, None)
+    codes, _ = pd.factorize(pd.Series(strings))
+    plain = topn_cosine_matches(m, None, 0.6, 5)
+    mesh = make_mesh(8, dp=2)
+    collapsed = distributed_topn_cosine_matches(
+        m, None, 0.6, 5, mesh, left_codes=codes
+    )
+    _assert_identical(plain, collapsed)

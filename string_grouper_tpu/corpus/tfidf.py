@@ -69,6 +69,28 @@ class DeviceEncodeSrc:
             ngram=self.ngram,
         )
 
+    def take_rows(self, rows: np.ndarray) -> "DeviceEncodeSrc":
+        """Arbitrary row subset (duplicate-collapse layer: upload only the
+        unique rows' bytes).  Vectorized ragged gather."""
+        rows = np.asarray(rows, dtype=np.int64)
+        lens = np.diff(self.coff)[rows]
+        coff = np.concatenate(([0], np.cumsum(lens)))
+        total = int(coff[-1])
+        idx = (
+            np.repeat(self.coff[rows], lens)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(coff[:-1], lens)
+        )
+        return DeviceEncodeSrc(
+            flat_codes=self.flat_codes[idx],
+            coff=coff,
+            inv_norm=self.inv_norm[rows],
+            table_id=self.table_id,
+            idf32=self.idf32,
+            base=self.base,
+            ngram=self.ngram,
+        )
+
 
 class _DeferredFill:
     """A background fill of preallocated arrays (the native encoder's

@@ -1063,13 +1063,23 @@ def _phase1_single(
 
     on_tpu = jax.devices()[0].platform == "tpu"
 
+    def build_selected(ell, sel, n_valid, n_pad):
+        """Hash matrix of selected rows only.  With a byte-level payload the
+        subset is gathered on HOST first, so only the unique rows' bytes
+        cross the wire; otherwise the full matrix is hashed and the rows
+        gathered on device."""
+        src = getattr(ell, "device_src", None)
+        if src is not None and device_encode_enabled():
+            return _build_hash_from_codes(src.take_rows(sel), n_pad, hash_dim)
+        full = build_hash_matrix(ell, ell.n_rows, hash_dim)
+        idx = np.zeros(n_pad, dtype=np.int32)
+        idx[:n_valid] = sel
+        return _gather_pad_rows(full, jnp.asarray(idx), n_valid, n_pad)
+
     if right_sel is None:
         b_hash = build_hash_matrix(right, n_right_p, hash_dim)
     else:
-        b_full = build_hash_matrix(right, right.n_rows, hash_dim)
-        idx = np.zeros(n_right_p, dtype=np.int32)
-        idx[:n_right] = right_sel
-        b_hash = _gather_pad_rows(b_full, jnp.asarray(idx), n_right, n_right_p)
+        b_hash = build_selected(right, right_sel, n_right, n_right_p)
     b_hash_tiles = b_hash.reshape(n_right_p // tile, tile, hash_dim)
     if is_self and n_left_p <= n_right_p:
         a_hash_chunks = b_hash[:n_left_p].reshape(-1, chunk, hash_dim)
@@ -1078,11 +1088,8 @@ def _phase1_single(
             -1, chunk, hash_dim
         )
     else:
-        a_full = build_hash_matrix(left, left.n_rows, hash_dim)
-        idx = np.zeros(n_left_p, dtype=np.int32)
-        idx[:n_left] = left_sel
-        a_hash_chunks = _gather_pad_rows(
-            a_full, jnp.asarray(idx), n_left, n_left_p
+        a_hash_chunks = build_selected(
+            left, left_sel, n_left, n_left_p
         ).reshape(-1, chunk, hash_dim)
 
     # Segment the left side so host-side exact scoring of one segment

@@ -147,3 +147,35 @@ def test_slice_rows_roundtrip():
         M._fill_code_rows(src, np.arange(10, 30, dtype=np.int32), 32),
     )
     np.testing.assert_array_equal(part.inv_norm, src.inv_norm[10:30])
+
+
+def test_take_rows_payload_matches_device_gather():
+    """DeviceEncodeSrc.take_rows (host-side unique-row payload gather) must
+    produce the same hashed projection rows as hashing the full corpus and
+    gathering on device."""
+    import jax.numpy as jnp
+
+    from string_grouper_tpu.ops.matcher import (
+        _build_hash_from_codes,
+        build_hash_matrix,
+    )
+
+    strings = ["mega corp", "tiny co", "mega corp", "another name",
+               "tiny co", "megacorp inc"]
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+    assert ell.device_src is not None
+    rows = np.array([0, 1, 3, 5], dtype=np.int64)
+    sub = ell.device_src.take_rows(rows)
+    np.testing.assert_array_equal(
+        sub.row_lengths(), ell.device_src.row_lengths()[rows]
+    )
+    np.testing.assert_array_equal(
+        sub.inv_norm, ell.device_src.inv_norm[rows]
+    )
+    h_full = build_hash_matrix(ell, ell.n_rows, 256)
+    h_sub = _build_hash_from_codes(sub, len(rows), 256)
+    np.testing.assert_array_equal(
+        np.asarray(h_sub).astype(np.float32),
+        np.asarray(h_full[jnp.asarray(rows)]).astype(np.float32),
+    )

@@ -227,8 +227,55 @@ def _native_luts(config: StringGrouperConfig):
     return keep, lut
 
 
+def _native_raw_arrow(series) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Zero-copy raw bytes + offsets straight from a pandas Arrow-backed
+    string Series (pandas >= 3 default ``str`` dtype): the Arrow layout IS
+    the flat-UTF-8-buffer + offsets form the native encoder consumes, so
+    the per-string python materialization and the corpus-sized ``join``
+    both disappear -- they were ~0.3-0.5 s of (weather-sensitive) host
+    work at 663k."""
+    arr = getattr(series, "array", None)
+    pa_arr = getattr(arr, "_pa_array", None)
+    if pa_arr is None:
+        return None
+    try:
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover
+        return None
+    combined = pa_arr.combine_chunks()
+    if combined.null_count:
+        return None
+    if pa.types.is_string(combined.type):
+        off_dtype = np.int32
+    elif pa.types.is_large_string(combined.type):
+        off_dtype = np.int64
+    else:
+        return None
+    bufs = combined.buffers()
+    if len(bufs) < 3 or bufs[1] is None:
+        return None
+    n = len(combined)
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        combined.offset : combined.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.zeros(0, np.uint8)
+    raw = np.ascontiguousarray(data[offsets[0] : offsets[-1]])
+    roff = offsets - offsets[0]
+    if len(raw) and int(raw.max()) > 127:  # non-ASCII byte present
+        return None
+    if n and int(np.diff(roff).max(initial=0)) > _NATIVE_MAX_ROW:
+        return None
+    return raw, roff
+
+
 def _native_raw(strings) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Raw ASCII byte buffer + row offsets, or None when ineligible."""
+    if isinstance(strings, pd.Series):
+        rr = _native_raw_arrow(strings)
+        if rr is not None:
+            return rr
+        strings = list(strings)
     joined = "".join(strings)
     if not joined.isascii():
         return None
@@ -483,10 +530,13 @@ class TfidfEncoder:
         with the native value fill still running on a worker thread (the
         matrix carries the join handle); the default joins, so direct
         callers always see materialized arrays."""
-        strings = list(strings)
+        if not isinstance(strings, pd.Series):
+            strings = list(strings)
         native = self._native_fit_transform(strings)
         if native is not None:
             return native if defer_fill else native.wait_ready()
+        if isinstance(strings, pd.Series):
+            strings = list(strings)
         corpus = clean_corpus(strings, self.config)
         keys, row_ids, n_rows, bits = self._corpus_keys(corpus, None)
         if len(keys) == 0:
@@ -531,10 +581,13 @@ class TfidfEncoder:
     ) -> EllMatrix:
         if self.vocab_keys_ is None:
             raise RuntimeError("TfidfEncoder.transform called before fit")
-        strings = list(strings)
+        if not isinstance(strings, pd.Series):
+            strings = list(strings)
         native = self._native_transform(strings)
         if native is not None:
             return native if defer_fill else native.wait_ready()
+        if isinstance(strings, pd.Series):
+            strings = list(strings)
         corpus = clean_corpus(strings, self.config)
         if self._packed_bits is not None:
             keys, row_ids, _, _ = self._corpus_keys(corpus, self._packed_bits)
@@ -576,15 +629,18 @@ class TfidfEncoder:
         value fill is still running on a worker thread so the device scan
         starts immediately; see :meth:`fit_transform`.
         """
-        master = list(master)
         if duplicates is None:
             m = self.fit_transform(master, defer_fill=defer_fill)
             return m, m
-        duplicates = list(duplicates)
-        both = self.fit_transform(master + duplicates, defer_fill=defer_fill)
+        n_m_early = len(master)
+        if isinstance(master, pd.Series) and isinstance(duplicates, pd.Series):
+            both_in = pd.concat([master, duplicates], ignore_index=True)
+        else:
+            both_in = list(master) + list(duplicates)
+        both = self.fit_transform(both_in, defer_fill=defer_fill)
         if not defer_fill:
             both.wait_ready()
-        n_m = len(master)
+        n_m = n_m_early
         src = both.device_src
         # Row-slice views share the (possibly still filling) buffers, so
         # the deferred-fill handle propagates to both sides.

@@ -199,10 +199,12 @@ class StringGrouper:
                 # defer_fill: the corpus-sized ELL value fill runs on a
                 # worker thread while the device payload uploads and the
                 # phase-1 scan starts; the matcher's first exact rescore
-                # joins it (EllMatrix.wait_ready).
+                # joins it (EllMatrix.wait_ready).  The Series pass straight
+                # through: the native encoder reads the Arrow string buffers
+                # zero-copy (corpus/tfidf.py _native_raw_arrow).
                 master_ell, dupes_ell = self._encoder.fit_transform_pair(
-                    list(self._master),
-                    None if is_self else list(self._duplicates),
+                    self._master,
+                    None if is_self else self._duplicates,
                     defer_fill=True,
                 )
         self._master_ell = master_ell
@@ -290,7 +292,7 @@ class StringGrouper:
         if len(self._master) != len(self._duplicates):
             raise Exception("To perform this function, both input Series must have the same length.")
         master_ell, dupes_ell = self._encoder.fit_transform_pair(
-            list(self._master), list(self._duplicates)
+            self._master, self._duplicates
         )
         from .ops.rescore import row_dot_fp64
 

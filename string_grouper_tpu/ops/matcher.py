@@ -684,6 +684,36 @@ def _pack_meta(*parts: jax.Array) -> jax.Array:
     return jnp.concatenate(out)
 
 
+def _flat_wire_len(budget: int, n_right_p: int) -> int:
+    """Device-side word count of a budget-sized compacted column stream
+    (20-bit packed when ids fit, raw i32 otherwise)."""
+    return (budget // 8) * 5 if n_right_p <= (1 << 20) else budget
+
+
+def _join_wire(meta, flat):
+    """Concatenate per-row metadata and the compacted column stream into
+    ONE i32 device array: every ``np.asarray`` over the tunneled link pays
+    full round-trip latency, so each segment (and each escalation job)
+    ships as a single transfer."""
+    if flat is None:
+        return meta
+    if flat.dtype != jnp.int32:
+        flat = jax.lax.bitcast_convert_type(flat, jnp.int32)
+    return jnp.concatenate([meta, flat])
+
+
+def _split_wire(wire_h: np.ndarray, has_flat: bool, budget: int,
+                n_right_p: int):
+    """Host inverse of ``_join_wire``: (meta_words, flat_words|None)."""
+    if not has_flat:
+        return wire_h, None
+    fl = _flat_wire_len(budget, n_right_p)
+    flat = wire_h[len(wire_h) - fl:]
+    if n_right_p <= (1 << 20):
+        flat = flat.view(np.uint32)
+    return wire_h[: len(wire_h) - fl], flat
+
+
 # Single-worker pool so segment downloads (a) stay ordered and (b) overlap
 # the consumer's host-side exact scoring of earlier segments -- the device
 # link and the host cores are different resources, and the streamed scan
@@ -691,18 +721,20 @@ def _pack_meta(*parts: jax.Array) -> jax.Array:
 _DL_POOL = ThreadPoolExecutor(max_workers=1)
 
 
-def _fetch_segment(meta, flat, mc, budget, n_right_p, seg_rows):
-    """Download one segment's metadata (+ compacted candidate stream when
-    it fits the budget) -- runs on the prefetch worker thread.  A ``None``
+def _fetch_segment(wire, has_flat, mc, budget, n_right_p, seg_rows):
+    """Download one segment's single-wire transfer (metadata + compacted
+    candidate stream) -- runs on the prefetch worker thread.  A ``None``
     stream means the segment overflowed the budget and the consumer must
     fall back to the full candidate matrix."""
-    meta_h = np.asarray(meta).reshape(-1, seg_rows)
+    wire_h = np.asarray(wire)
+    meta_w, flat_w = _split_wire(wire_h, has_flat, budget, n_right_p)
+    meta_h = meta_w.reshape(-1, seg_rows)
     mc_i = int(mc) if mc is not None else None
     flat_h = None
-    if flat is not None:
+    if flat_w is not None:
         total = int(meta_h[-1].sum())  # n_i is packed last
         if total <= budget:
-            flat_h = _download_cols(flat, total, n_right_p)
+            flat_h = _download_cols(flat_w, total, n_right_p)
     return meta_h, flat_h, mc_i
 
 
@@ -714,12 +746,13 @@ def _consume_stream(futs, budget, n_right_p, seg_rows, n_left, n_right):
     the worker does not keep pulling dead segments over the slow link."""
     fetches = [
         _DL_POOL.submit(
-            _fetch_segment, meta, flat, max_cnt, budget, n_right_p, seg_rows
+            _fetch_segment, wire, has_flat, max_cnt, budget, n_right_p,
+            seg_rows,
         )
-        for (meta, cols2, flat, max_cnt) in futs
+        for (wire, cols2, has_flat, max_cnt) in futs
     ]
     try:
-        for g, (meta, cols2, flat, max_cnt) in enumerate(futs):
+        for g, (wire, cols2, has_flat, max_cnt) in enumerate(futs):
             base = g * seg_rows
             rows_here = max(0, min(seg_rows, n_left - base))
             if rows_here == 0:
@@ -752,19 +785,22 @@ def _consume_stream(futs, budget, n_right_p, seg_rows, n_left, n_right):
             f.cancel()
 
 
-def _finish_rows(meta, flat, ub_last, cols2, m, m_p, budget, n_right_p,
+def _finish_rows(wire, ub_last, cols2, m, m_p, budget, n_right_p,
                  n_right):
-    """Download half of a (possibly deferred) hot-row re-match: decode the
-    compacted stream when it fit the budget, else ship the full candidate
-    matrix.  Shared by the single-chip and mesh ``run_rows``."""
+    """Download half of a (possibly deferred) hot-row re-match: one wire
+    transfer carrying metadata + the compacted stream when it fit the
+    budget, else ship the full candidate matrix.  Shared by the single-chip
+    and mesh ``run_rows``."""
     bound_h = None
-    if meta is not None:
-        meta_h = np.asarray(meta).reshape(2, -1)
+    if wire is not None:
+        wire_h = np.asarray(wire)
+        meta_w, flat_w = _split_wire(wire_h, True, budget, n_right_p)
+        meta_h = meta_w.reshape(2, -1)
         bound_h = meta_h[0].view(np.float32)[:m]
         n_i_h = meta_h[1]
         total = int(n_i_h.sum())
         if total <= budget:
-            flat_h = _download_cols(flat, total, n_right_p)
+            flat_h = _download_cols(flat_w, total, n_right_p)
             rows_l = np.repeat(np.arange(m_p, dtype=np.int64), n_i_h)
             keep = (rows_l < m) & (flat_h < n_right)
             return rows_l[keep], flat_h[keep], bound_h
@@ -1162,10 +1198,10 @@ def _phase1_single(
                     ccnt[:, cpg_t:], cbnd[:, cpg_t:],
                     jnp.int32((b0 + cpg_t) * tile), cand_c=cand_c,
                 )
-            futs.append(
-                (_pack_meta(counts_d, tmax_d, bound_d, n_i), ship_d, flat,
-                 mc)
-            )
+            futs.append((
+                _join_wire(_pack_meta(counts_d, tmax_d, bound_d, n_i), flat),
+                ship_d, True, mc,
+            ))
         yield from _consume_stream(
             futs, budget, n_pp, seg_rows_t, n_left, n_right
         )
@@ -1216,14 +1252,15 @@ def _phase1_single(
                     b_hash_tiles, thr, cand_c, k_tile,
                 )
                 cols2 = cols.reshape(-1, cols.shape[-1])
-            flat = None
             if do_compact:
                 flat, n_i = _compact_cols(cols2, budget)
-                flat = _ship_cols(flat, n_right_p)
-                meta = _pack_meta(counts, tmax, bound, n_i)
+                wire = _join_wire(
+                    _pack_meta(counts, tmax, bound, n_i),
+                    _ship_cols(flat, n_right_p),
+                )
             else:
-                meta = _pack_meta(counts, tmax, bound)
-            futs.append((meta, cols2, flat, max_cnt))
+                wire = _pack_meta(counts, tmax, bound)
+            futs.append((wire, cols2, do_compact, max_cnt))
         yield from _consume_stream(
             futs, budget, n_right_p, seg_rows, n_left, n_right
         )
@@ -1260,7 +1297,7 @@ def _phase1_single(
         )
         cols2 = cols.reshape(-1, cols.shape[-1])
         w = cols2.shape[-1]
-        flat = meta = None
+        wire = None
         budget = 0
         if (
             thr_eff > 0
@@ -1268,17 +1305,15 @@ def _phase1_single(
             and m_p * w > _ROWS_COMPACT_MIN
         ):
             budget = _next_pow2(budget_hint + 8)
-            if budget >= m_p * w:
-                flat = meta = None
-            else:
+            if budget < m_p * w:
                 flat, n_i = _compact_cols(cols2, budget)
-                flat = _ship_cols(flat, n_right_p)
-                meta = _pack_meta(ub_last, n_i)
+                wire = _join_wire(
+                    _pack_meta(ub_last, n_i), _ship_cols(flat, n_right_p)
+                )
 
         def finish():
             return _finish_rows(
-                meta, flat, ub_last, cols2, m, m_p, budget, n_right_p,
-                n_right,
+                wire, ub_last, cols2, m, m_p, budget, n_right_p, n_right
             )
 
         return finish if defer else finish()
@@ -1483,7 +1518,31 @@ def adaptive_topn(
         kept_q = np.zeros(n_left, dtype=np.int64)
         row_cut = np.full(n_left, -np.inf)
         pending = []  # deferred escalation jobs (rows, finish)
+        esc_buf: list = []  # unsafe rows accumulated across segments
+        esc_cnt = 0
         max_cnt = 0
+
+        def flush_esc():
+            """Dispatch the accumulated unsafe rows.  Accumulating across
+            segments keeps the JOB count low -- every deferred job costs a
+            full tunnel round-trip at finish time, and per-segment unsafe
+            sets are typically far below one device chunk."""
+            nonlocal esc_cnt
+            if not esc_buf:
+                return
+            idx_g = np.concatenate(esc_buf)
+            esc_buf.clear()
+            esc_cnt = 0
+            for g, c_big, kt_use in split_jobs(idx_g, tmax, counts, c):
+                if len(g) * c_big > 16_000_000:
+                    # Unlike the post-stream rounds (jobs finish as the
+                    # next dispatches), streamed jobs all stay deferred
+                    # until the stream drains -- leave oversized buckets
+                    # for the post-stream machinery instead of parking a
+                    # giant device buffer.
+                    continue
+                pending.append(dispatch_job(g, c_big, kt_use, counts, 1))
+
         stream = iter(phase1_run(effective_threshold(min_similarity), c, kt))
         while True:
             t0 = _time.perf_counter()
@@ -1515,21 +1574,11 @@ def adaptive_topn(
             idx_l = np.flatnonzero(unsafe_rows(bound_g, kq_g, rc_g))
             if not len(idx_l):
                 continue
-            idx_g = idx_l.astype(np.int64) + base
-            # Slot guard: unlike the post-stream rounds (jobs finish as the
-            # next dispatches, so at most a couple of buffers coexist),
-            # streamed jobs all stay deferred until the stream drains -- a
-            # pathologically hot segment falls back to the post-stream
-            # quantile/forced machinery instead of parking a giant device
-            # buffer per segment.
-            c_seg = min(
-                max(c_cap, 1),
-                max(_next_pow2(int(counts[idx_g].max())), c),
-            )
-            if len(idx_g) * c_seg > 16_000_000:
-                continue
-            for g, c_big, kt_use in split_jobs(idx_g, tmax, counts, c):
-                pending.append(dispatch_job(g, c_big, kt_use, counts, 1))
+            esc_buf.append(idx_l.astype(np.int64) + base)
+            esc_cnt += len(idx_l)
+            if esc_cnt >= _ESC_MIN_JOB_ROWS:
+                flush_esc()
+        flush_esc()
         logger.debug(
             "phase1 done: max_cnt=%d counts.max=%d streamed_esc_jobs=%d",
             max_cnt, int(counts.max(initial=0)), len(pending),

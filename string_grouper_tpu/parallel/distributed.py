@@ -51,6 +51,7 @@ from ..ops.matcher import (
     _compact_cols,
     _consume_stream,
     _finish_rows,
+    _join_wire,
     _next_pow2,
     _pad_width,
     _pairs_from_ship,
@@ -505,14 +506,15 @@ def _phase1_distributed(
                 b_hash_tiles, thr, cand_c, k_tile,
             )
             cols2 = cols.reshape(-1, cols.shape[-1])
-            flat = None
             if do_compact:
                 flat, n_i = _sort_compact(cols2, budget)
-                flat = _ship_cols(flat, n_right_p)
-                meta = _pack_meta(counts, tmax, bound, n_i)
+                wire = _join_wire(
+                    _pack_meta(counts, tmax, bound, n_i),
+                    _ship_cols(flat, n_right_p),
+                )
             else:
-                meta = _pack_meta(counts, tmax, bound)
-            futs.append((meta, cols2, flat, max_cnt))
+                wire = _pack_meta(counts, tmax, bound)
+            futs.append((wire, cols2, do_compact, max_cnt))
         yield from _consume_stream(
             futs, budget, n_right_p, seg_rows, n_left, n_right
         )
@@ -541,7 +543,7 @@ def _phase1_distributed(
         )
         cols2 = cols.reshape(-1, cols.shape[-1])
         w = cols2.shape[-1]
-        flat = meta = None
+        wire = None
         budget = 0
         if (
             thr_eff > 0
@@ -551,17 +553,15 @@ def _phase1_distributed(
             # counts are per-shard maxima, so the total valid count can
             # reach mp times the hint; overflow still falls back safely.
             budget = _next_pow2(budget_hint * mp + 8)
-            if budget >= m_p * w:
-                flat = meta = None
-            else:
+            if budget < m_p * w:
                 flat, n_i = _sort_compact(cols2, budget)
-                flat = _ship_cols(flat, n_right_p)
-                meta = _pack_meta(ub_last, n_i)
+                wire = _join_wire(
+                    _pack_meta(ub_last, n_i), _ship_cols(flat, n_right_p)
+                )
 
         def finish():
             return _finish_rows(
-                meta, flat, ub_last, cols2, m, m_p, budget, n_right_p,
-                n_right,
+                wire, ub_last, cols2, m, m_p, budget, n_right_p, n_right
             )
 
         return finish if defer else finish()

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +54,6 @@ from ..ops.matcher import (
     _join_wire,
     _next_pow2,
     _pad_width,
-    _pairs_from_ship,
     _pack_meta,
     _ship_cols,
     adaptive_topn,

@@ -53,6 +53,10 @@ class DeviceEncodeSrc:
     idf32: np.ndarray  # float32[n_terms]
     base: int  # code alphabet size + 1 (0 reserved for pad/unknown)
     ngram: int
+    #: FNV-1a of each row's cleaned bytes -- feeds clean-equality duplicate
+    #: grouping (equal cleaned content => identical TF-IDF row); groups are
+    #: byte-verified before use, so collisions are harmless.
+    row_hash: Optional[np.ndarray] = None  # uint64[n]
 
     def row_lengths(self) -> np.ndarray:
         return np.diff(self.coff).astype(np.int64)
@@ -67,6 +71,9 @@ class DeviceEncodeSrc:
             idf32=self.idf32,
             base=self.base,
             ngram=self.ngram,
+            row_hash=(
+                self.row_hash[lo:hi] if self.row_hash is not None else None
+            ),
         )
 
     def take_rows(self, rows: np.ndarray) -> "DeviceEncodeSrc":
@@ -89,6 +96,9 @@ class DeviceEncodeSrc:
             idf32=self.idf32,
             base=self.base,
             ngram=self.ngram,
+            row_hash=(
+                self.row_hash[rows] if self.row_hash is not None else None
+            ),
         )
 
 
@@ -512,6 +522,8 @@ class TfidfEncoder:
         lib.encode_get_clean(flat, coff)
         inv = np.empty(n_rows, dtype=np.float32)
         lib.encode_row_norms(np.ascontiguousarray(self.idf_), inv)
+        hashes = np.empty(n_rows, dtype=np.uint64)
+        lib.encode_row_hashes(hashes)
         code_lut, table, idf32, base = self._device_tables()
         return DeviceEncodeSrc(
             flat_codes=code_lut[flat],
@@ -521,6 +533,7 @@ class TfidfEncoder:
             idf32=idf32,
             base=base,
             ngram=self.config.ngram_size,
+            row_hash=hashes,
         )
 
     def fit_transform(

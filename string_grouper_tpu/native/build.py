@@ -150,6 +150,9 @@ def get_scorer_lib() -> Optional[ctypes.CDLL]:
     lib.encode_get_clean.argtypes = [p_u8, p_i64]
     lib.encode_row_norms.restype = None
     lib.encode_row_norms.argtypes = [p_f64, p_f32]
+    p_u64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.encode_row_hashes.restype = None
+    lib.encode_row_hashes.argtypes = [p_u64]
     lib.fill_code_rows.restype = None
     lib.fill_code_rows.argtypes = [p_u8, p_i64, p_i32, i64, i64, p_u8]
     _lib = lib

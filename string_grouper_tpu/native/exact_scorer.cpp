@@ -613,6 +613,26 @@ void encode_get_clean(uint8_t* out_flat, int64_t* out_coff)
     std::memcpy(out_coff, S.coff.data(), (S.n_rows + 1) * sizeof(int64_t));
 }
 
+// Per-row FNV-1a hash of the CLEANED byte stream: rows with equal cleaned
+// content (case/punctuation variants of the same string) hash equal, which
+// feeds the duplicate-collapse layer's clean-equality grouping
+// (ops/matcher.py _clean_dup_codes; groups are byte-verified there, so a
+// hash collision costs nothing but the verification).
+void encode_row_hashes(uint64_t* out)
+{
+    EncState& S = g_enc;
+    const int64_t n_rows = S.n_rows;
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_rows; ++r) {
+        uint64_t h = 1469598103934665603ull;  // FNV offset basis
+        for (int64_t i = S.coff[r]; i < S.coff[r + 1]; ++i) {
+            h ^= uint64_t(S.clean[i]);
+            h *= 1099511628211ull;  // FNV prime
+        }
+        out[r] = h;
+    }
+}
+
 // Per-row inverse L2 norm of the tf-idf vector (0 for empty rows), float32.
 // Same accumulation as encode_phase2: w = tf * idf in ascending-term order,
 // float64 sum of squares.

@@ -1865,6 +1865,58 @@ def order_like_reference_csr(pairs: MatchPairs) -> MatchPairs:
 
 
 # ------------------------------------------------ duplicate-collapse layer
+def _clean_refined_codes(src) -> Optional[np.ndarray]:
+    """Duplicate coding by CLEAN-equality from the device payload's per-row
+    hashes: rows whose cleaned bytes are identical (case / stripped-
+    punctuation variants of the same string) have identical TF-IDF rows
+    regardless of raw differences, so they can share one matcher row --
+    a strictly coarser grouping than raw equality.  Hash groups are
+    byte-VERIFIED against their representative (mismatching rows demote to
+    fresh singleton groups), so a hash collision costs only the check."""
+    h = getattr(src, "row_hash", None)
+    if h is None:
+        return None
+    lens = src.row_lengths()
+    n = len(h)
+    order = np.lexsort((lens, h))
+    hs, ls = h[order], lens[order]
+    new_grp = np.concatenate(
+        ([True], (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1]))
+    )
+    gid = np.empty(n, dtype=np.int64)
+    gid[order] = np.cumsum(new_grp) - 1
+    codes, first, perm, starts, counts = _group_positions(gid)
+    multi = np.flatnonzero(counts > 1)
+    if len(multi):
+        mem_cnt = counts[multi] - 1
+        tot_m = int(mem_cnt.sum())
+        cum_m = np.concatenate(([0], np.cumsum(mem_cnt)[:-1]))
+        mem_idx = (
+            np.repeat(starts[multi] + 1, mem_cnt)
+            + np.arange(tot_m, dtype=np.int64)
+            - np.repeat(cum_m, mem_cnt)
+        )
+        members = perm[mem_idx]
+        reps = first[codes[members]].astype(np.int64)
+        L = lens[members]
+        nz = np.flatnonzero(L > 0)
+        ok = np.ones(len(members), dtype=bool)
+        if len(nz):
+            Lnz = L[nz]
+            tot = int(Lnz.sum())
+            cum = np.concatenate(([0], np.cumsum(Lnz)[:-1]))
+            within = np.arange(tot, dtype=np.int64) - np.repeat(cum, Lnz)
+            a = src.flat_codes[np.repeat(src.coff[members[nz]], Lnz) + within]
+            b = src.flat_codes[np.repeat(src.coff[reps[nz]], Lnz) + within]
+            eq = a == b
+            ok[nz] = np.logical_and.reduceat(eq, cum)
+        bad = members[~ok]
+        if len(bad):
+            codes = codes.copy()
+            codes[bad] = int(codes.max()) + 1 + np.arange(len(bad))
+    return codes
+
+
 def _group_positions(codes: np.ndarray):
     """Per-group position lists of a duplicate coding.
 
@@ -1997,6 +2049,23 @@ def topn_cosine_matches(
         and len(left_codes) == left.n_rows
     )
     if dedup:
+        # Clean-equality refinement: when the byte-level payload is present
+        # its per-row hashes coarsen the raw-equality coding to cleaned-
+        # content equality (identical TF-IDF rows by construction).
+        if device_encode_enabled():
+            src_l = getattr(left, "device_src", None)
+            refined = (
+                _clean_refined_codes(src_l) if src_l is not None else None
+            )
+            if refined is not None:
+                left_codes = refined
+            if not is_self:
+                src_r = getattr(right_m, "device_src", None)
+                refined_r = (
+                    _clean_refined_codes(src_r) if src_r is not None else None
+                )
+                if refined_r is not None:
+                    right_codes = refined_r
         codes_l, first_l, perm_l, starts_l, counts_l = _group_positions(
             left_codes
         )

@@ -592,7 +592,12 @@ def distributed_topn_cosine_matches(
     ops/matcher.py) -- the collapse/expansion happens on the controller,
     the unique-row scan under the mesh.
     """
-    from ..ops.matcher import _expand_dedup, _group_positions
+    from ..ops.matcher import (
+        _clean_refined_codes,
+        _expand_dedup,
+        _group_positions,
+        device_encode_enabled,
+    )
 
     is_self = right is None
     right_m = left if is_self else right
@@ -607,6 +612,23 @@ def distributed_topn_cosine_matches(
         and len(left_codes) == left.n_rows
     )
     if dedup:
+        # Clean-equality refinement: when the byte-level payload is present
+        # its per-row hashes coarsen the raw-equality coding to cleaned-
+        # content equality (identical TF-IDF rows by construction).
+        if device_encode_enabled():
+            src_l = getattr(left, "device_src", None)
+            refined = (
+                _clean_refined_codes(src_l) if src_l is not None else None
+            )
+            if refined is not None:
+                left_codes = refined
+            if not is_self:
+                src_r = getattr(right_m, "device_src", None)
+                refined_r = (
+                    _clean_refined_codes(src_r) if src_r is not None else None
+                )
+                if refined_r is not None:
+                    right_codes = refined_r
         codes_l, first_l, perm_l, starts_l, counts_l = _group_positions(
             left_codes
         )

@@ -196,3 +196,46 @@ def test_mesh_collapse_identical_to_single_chip():
         m, None, 0.6, 5, mesh, left_codes=codes
     )
     _assert_identical(plain, collapsed)
+
+
+def test_clean_equality_collapse_case_variants():
+    """Case/punctuation variants clean to the same bytes, so the payload's
+    clean-hash grouping must collapse them -- and the result must equal the
+    uncollapsed path exactly."""
+    strings = (
+        ["Mega Corp Industries", "mega corp industries",
+         "MEGA CORP INDUSTRIES", "Mega-Corp Industries",
+         "tiny startup llc", "Tiny Startup LLC", "unrelated name here"] * 3
+    )
+    plain, collapsed = _run_both(strings, None, 0.6, 20)
+    _assert_identical(plain, collapsed)
+    # the coding itself collapses to 3 clean-groups
+    from string_grouper_tpu.ops.matcher import _clean_refined_codes
+
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+    codes = _clean_refined_codes(ell.device_src)
+    assert codes is not None
+    assert int(codes.max()) + 1 == 3
+
+
+def test_clean_hash_collision_is_demoted():
+    """Forged colliding hashes for DIFFERENT strings must not merge: byte
+    verification demotes the collider to its own group."""
+    import dataclasses
+
+    from string_grouper_tpu.ops.matcher import _clean_refined_codes
+
+    strings = ["aaa bbb", "ccc ddd", "aaa bbb"]
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+    src = ell.device_src
+    forged = dataclasses.replace(
+        src, row_hash=np.array([7, 7, 7], dtype=np.uint64)
+    )
+    # rows 0 and 2 are genuinely equal ("aaabbb" == "aaabbb" cleaned, len 6);
+    # row 1 cleans to "cccddd" (same length!) with the same forged hash --
+    # verification must split it out.
+    codes = _clean_refined_codes(forged)
+    assert codes[0] == codes[2]
+    assert codes[1] != codes[0]

@@ -238,15 +238,37 @@ def _device_hash(
     return hs.reshape(n_p, dim)[:n]
 
 
-@partial(jax.jit, static_argnames=("dim", "base", "ngram", "row_tile"))
+def _pack_codes6(codes: np.ndarray) -> np.ndarray:
+    """Pack (n, W) uint8 codes < 64 into 6-bit fields, 5 per uint32 word:
+    the payload upload is the largest host->device transfer and the tunnel
+    is the scarce resource, so 8 bits/char -> 6.4 bits/char."""
+    n, w = codes.shape
+    wp = -(-w // 5) * 5
+    if wp > w:
+        codes = np.pad(codes, ((0, 0), (0, wp - w)))
+    c = codes.astype(np.uint32).reshape(n, wp // 5, 5)
+    out = (
+        c[:, :, 0]
+        | (c[:, :, 1] << 6)
+        | (c[:, :, 2] << 12)
+        | (c[:, :, 3] << 18)
+        | (c[:, :, 4] << 24)
+    )
+    return out
+
+
+@partial(
+    jax.jit, static_argnames=("dim", "base", "ngram", "width", "row_tile")
+)
 def _device_hash_codes(
-    codes: jax.Array,  # (n, W) uint8 cleaned char codes, 0 = pad/unknown
+    codes: jax.Array,  # (n, W) uint8 codes -- or (n, ceil(W/5)) uint32 packed
     inv_norm: jax.Array,  # (n,) f32 inverse L2 norms
     table_id: jax.Array,  # (base**ngram,) int32 compact key -> term id, -1 OOV
     idf: jax.Array,  # (n_terms,) f32
     dim: int,
     base: int,
     ngram: int,
+    width: Optional[int] = None,  # true code width when packed
     row_tile: int = 4096,
 ) -> jax.Array:
     """Hashed TF-IDF projection computed on device straight from cleaned
@@ -259,8 +281,13 @@ def _device_hash_codes(
     is the same projection as ``_device_hash`` over ``pack_hash_inputs``
     (same Knuth term-id bucketing as ``_pack_rows``), up to float rounding
     -- absorbed by the phase-1 UB slack.  Windows touching a pad/unknown
-    code read -1 from the table (see DeviceEncodeSrc) and contribute 0."""
-    n, w = codes.shape
+    code read -1 from the table (see DeviceEncodeSrc) and contribute 0.
+
+    ``width`` marks 6-bit-packed input (``_pack_codes6``); the unpack is a
+    few VPU shifts per word, repaying the 25% smaller upload."""
+    n = codes.shape[0]
+    packed = width is not None
+    w = width if packed else codes.shape[1]
     if w < ngram:  # every row shorter than the n-gram size: no windows
         return jnp.zeros((n, dim), jnp.bfloat16)
     n_p = -(-n // row_tile) * row_tile
@@ -269,13 +296,20 @@ def _device_hash_codes(
         inv_norm = jnp.pad(inv_norm, (0, n_p - n))
     win = w - ngram + 1
     shift = 32 - int(dim).bit_length() + 1
-    ct = codes.reshape(n_p // row_tile, row_tile, w)
+    ct = codes.reshape(n_p // row_tile, row_tile, codes.shape[1])
     it = inv_norm.reshape(n_p // row_tile, row_tile)
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, dim), 2)
 
     def body(_, xs):
         c, inv = xs
-        c = c.astype(jnp.int32)
+        if packed:
+            parts = [
+                ((c >> jnp.uint32(6 * k)) & jnp.uint32(63)).astype(jnp.int32)
+                for k in range(5)
+            ]
+            c = jnp.stack(parts, axis=2).reshape(row_tile, -1)[:, :w]
+        else:
+            c = c.astype(jnp.int32)
         key = jnp.zeros((row_tile, win), jnp.int32)
         for j in range(ngram):
             key = key * base + jax.lax.dynamic_slice_in_dim(c, j, win, axis=1)
@@ -329,29 +363,41 @@ def _build_hash_from_codes(src, n_pad: int, dim: int, narrow_w: int = 64,
     table = jnp.asarray(src.table_id)
     idf = jnp.asarray(src.idf32)
     args = dict(dim=dim, base=src.base, ngram=src.ngram)
+    # 6-bit pack when every code fits (base <= 64: codes are 1..base-1,
+    # 0 pad); larger alphabets ship raw uint8.
+    pack6 = src.base <= 64
+
+    def ship(order, w):
+        codes = _fill_code_rows(src, order, w)
+        if pack6:
+            return jnp.asarray(_pack_codes6(codes)), w
+        return jnp.asarray(codes), None
+
     narrow = lens <= narrow_w
     frac = narrow.mean() if n else 0.0
     full_w = max(src.ngram, _next_pow2(int(lens.max(initial=0))))
     if full_w <= narrow_w or frac < 0.5 or n < min_rows:
-        codes = _fill_code_rows(src, np.arange(n, dtype=np.int32), full_w)
+        codes, pw = ship(np.arange(n, dtype=np.int32), full_w)
         h = _device_hash_codes(
-            jnp.asarray(codes), jnp.asarray(src.inv_norm), table, idf, **args
+            codes, jnp.asarray(src.inv_norm), table, idf, width=pw, **args
         )
     else:
         order = np.argsort(~narrow, kind="stable").astype(np.int32)
         k = int(narrow.sum())
         inv_s = src.inv_norm[order]
+        codes_n, pw_n = ship(order[:k], narrow_w)
         parts = [
             _device_hash_codes(
-                jnp.asarray(_fill_code_rows(src, order[:k], narrow_w)),
-                jnp.asarray(inv_s[:k]), table, idf, **args,
+                codes_n, jnp.asarray(inv_s[:k]), table, idf, width=pw_n,
+                **args,
             )
         ]
         if k < n:
+            codes_w, pw_w = ship(order[k:], full_w)
             parts.append(
                 _device_hash_codes(
-                    jnp.asarray(_fill_code_rows(src, order[k:], full_w)),
-                    jnp.asarray(inv_s[k:]), table, idf, **args,
+                    codes_w, jnp.asarray(inv_s[k:]), table, idf,
+                    width=pw_w, **args,
                 )
             )
         h_perm = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]

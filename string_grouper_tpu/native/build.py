@@ -155,5 +155,7 @@ def get_scorer_lib() -> Optional[ctypes.CDLL]:
     lib.encode_row_hashes.argtypes = [p_u64]
     lib.fill_code_rows.restype = None
     lib.fill_code_rows.argtypes = [p_u8, p_i64, p_i32, i64, i64, p_u8]
+    lib.fill_code_rows6.restype = None
+    lib.fill_code_rows6.argtypes = [p_u8, p_i64, p_i32, i64, i64, p_u32]
     _lib = lib
     return _lib

@@ -671,4 +671,31 @@ void fill_code_rows(
     }
 }
 
+// fill_code_rows fused with the 6-bit pack (codes < 64: 5 per uint32 word,
+// zero-padded): one pass, no corpus-sized dense intermediate -- the numpy
+// shift/or chain built ~6 temporaries of the matrix size and page-faulted
+// for tens of seconds on wide (long-string) corpora.
+void fill_code_rows6(
+    const uint8_t* flat, const int64_t* coff, const int32_t* order,
+    int64_t m, int64_t width, uint32_t* out)
+{
+    const int64_t wp = (width + 4) / 5;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < m; ++i) {
+        const int64_t r = order[i];
+        const int64_t len0 = coff[r + 1] - coff[r];
+        const int64_t len = len0 < width ? len0 : width;
+        const uint8_t* src = flat + coff[r];
+        uint32_t* o = out + i * wp;
+        for (int64_t w = 0; w < wp; ++w) {
+            uint32_t word = 0;
+            const int64_t base = w * 5;
+            const int64_t hi = (base + 5 < len) ? base + 5 : len;
+            for (int64_t k = base; k < hi; ++k)
+                word |= uint32_t(src[k] & 63u) << (6 * (k - base));
+            o[w] = word;
+        }
+    }
+}
+
 }  // extern "C"

@@ -241,7 +241,8 @@ def _device_hash(
 def _pack_codes6(codes: np.ndarray) -> np.ndarray:
     """Pack (n, W) uint8 codes < 64 into 6-bit fields, 5 per uint32 word:
     the payload upload is the largest host->device transfer and the tunnel
-    is the scarce resource, so 8 bits/char -> 6.4 bits/char."""
+    is the scarce resource, so 8 bits/char -> 6.4 bits/char.  numpy
+    fallback of the fused native gather+pack (``_fill_code_rows6``)."""
     n, w = codes.shape
     wp = -(-w // 5) * 5
     if wp > w:
@@ -255,6 +256,25 @@ def _pack_codes6(codes: np.ndarray) -> np.ndarray:
         | (c[:, :, 4] << 24)
     )
     return out
+
+
+def _fill_code_rows6(src, order: np.ndarray, width: int) -> np.ndarray:
+    """Gather + 6-bit pack in ONE native pass (no dense uint8 intermediate
+    -- the corpus-sized numpy pack page-faulted for tens of seconds on
+    wide/long-string corpora)."""
+    from ..native import get_scorer_lib
+
+    lib = get_scorer_lib()
+    if lib is not None and hasattr(lib, "fill_code_rows6"):
+        order = np.ascontiguousarray(order, dtype=np.int32)
+        out = np.empty((len(order), -(-width // 5)), dtype=np.uint32)
+        lib.fill_code_rows6(
+            np.ascontiguousarray(src.flat_codes),
+            np.ascontiguousarray(src.coff),
+            order, len(order), width, out,
+        )
+        return out
+    return _pack_codes6(_fill_code_rows(src, order, width))
 
 
 @partial(
@@ -368,10 +388,9 @@ def _build_hash_from_codes(src, n_pad: int, dim: int, narrow_w: int = 64,
     pack6 = src.base <= 64
 
     def ship(order, w):
-        codes = _fill_code_rows(src, order, w)
         if pack6:
-            return jnp.asarray(_pack_codes6(codes)), w
-        return jnp.asarray(codes), None
+            return jnp.asarray(_fill_code_rows6(src, order, w)), w
+        return jnp.asarray(_fill_code_rows(src, order, w)), None
 
     narrow = lens <= narrow_w
     frac = narrow.mean() if n else 0.0

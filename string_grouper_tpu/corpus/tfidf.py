@@ -226,12 +226,15 @@ _EMPTY_VOCAB_MSG = (
 _NATIVE_MAX_ROW = 4096
 
 
-def _native_luts(config: StringGrouperConfig):
-    """(keep, map) byte LUTs of the default-regex ASCII cleanup."""
+def _native_luts(config: StringGrouperConfig, prefolded: bool = False):
+    """(keep, map) byte LUTs of the default-regex ASCII cleanup.
+    ``prefolded`` input was already lowercased on the host (unicode fold
+    path), so the LUT must not lowercase again (it would be a no-op anyway,
+    but identity keeps the contract explicit)."""
     keep = np.ones(256, dtype=np.uint8)
     keep[list(_DEFAULT_STRIP_BYTES)] = 0
     lut = np.arange(256, dtype=np.uint8)
-    if config.ignore_case:
+    if config.ignore_case and not prefolded:
         upper = np.arange(65, 91)
         lut[upper] = upper + 32
     return keep, lut
@@ -279,24 +282,49 @@ def _native_raw_arrow(series) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     return raw, roff
 
 
-def _native_raw(strings) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    """Raw ASCII byte buffer + row offsets, or None when ineligible."""
+def _native_raw(
+    strings, config: Optional[StringGrouperConfig] = None
+) -> Optional[Tuple[np.ndarray, np.ndarray, bool]]:
+    """Raw ASCII byte buffer + row offsets (+ a ``prefolded`` flag), or None
+    when ineligible.
+
+    Non-ASCII input with ``normalize_to_ascii`` (the default) is PRE-FOLDED
+    here in the reference's exact operation order (lower -> NFKD -> ASCII-
+    ignore, reference string_grouper.py:365-378) so a single accented
+    character no longer disqualifies the whole corpus from the native
+    encoder + device payload; the native byte LUTs then skip lowercasing
+    (``prefolded=True``) and only strip."""
     if isinstance(strings, pd.Series):
         rr = _native_raw_arrow(strings)
         if rr is not None:
-            return rr
+            return rr + (False,)
         strings = list(strings)
     joined = "".join(strings)
-    if not joined.isascii():
+    if joined.isascii():
+        lengths = np.fromiter(
+            (len(s) for s in strings), dtype=np.int64, count=len(strings)
+        )
+        if len(lengths) and int(lengths.max()) > _NATIVE_MAX_ROW:
+            return None
+        raw = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        roff = np.concatenate(([0], np.cumsum(lengths)))
+        return raw, roff, False
+    if config is None or not config.normalize_to_ascii:
         return None
-    lengths = np.fromiter(
-        (len(s) for s in strings), dtype=np.int64, count=len(strings)
-    )
+    from unicodedata import normalize as _nfkd
+
+    lower = config.ignore_case
+    parts = [
+        _nfkd("NFKD", s.lower() if lower else s).encode("ascii", "ignore")
+        for s in strings
+    ]
+    lengths = np.fromiter((len(b) for b in parts), dtype=np.int64,
+                          count=len(parts))
     if len(lengths) and int(lengths.max()) > _NATIVE_MAX_ROW:
         return None
-    raw = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+    raw = np.frombuffer(b"".join(parts), dtype=np.uint8)
     roff = np.concatenate(([0], np.cumsum(lengths)))
-    return raw, roff
+    return raw, roff, True
 
 
 def _native_eligible(config: StringGrouperConfig):
@@ -402,12 +430,12 @@ class TfidfEncoder:
         lib = _native_eligible(self.config)
         if lib is None:
             return None
-        rr = _native_raw(strings)
+        rr = _native_raw(strings, self.config)
         if rr is None:
             return None
         _join_pending_fill()
-        raw, roff = rr
-        keep, lut = _native_luts(self.config)
+        raw, roff, prefolded = rr
+        keep, lut = _native_luts(self.config, prefolded)
         n_rows = len(strings)
         info = np.zeros(3, dtype=np.int64)
         lib.encode_fit_phase1(
@@ -434,12 +462,12 @@ class TfidfEncoder:
         lib = _native_eligible(self.config)
         if lib is None:
             return None
-        rr = _native_raw(strings)
+        rr = _native_raw(strings, self.config)
         if rr is None:
             return None
         _join_pending_fill()
-        raw, roff = rr
-        keep, lut = _native_luts(self.config)
+        raw, roff, prefolded = rr
+        keep, lut = _native_luts(self.config, prefolded)
         n_rows = len(strings)
         keys32 = np.ascontiguousarray(self.vocab_keys_.astype(np.uint32))
         info = np.zeros(3, dtype=np.int64)

@@ -80,10 +80,11 @@ def test_case_sensitive_and_small_ngrams():
         np.testing.assert_array_equal(e_nat.vals64, e_ref.vals64)
 
 
-def test_non_ascii_falls_back():
+def test_non_ascii_fold_equivalence():
     enc = TfidfEncoder(StringGrouperConfig())
     ell = enc.fit_transform(["Café Müller GmbH", "Cafe Muller GmbH"])
-    # NFKD fold means both rows encode identically.
+    # NFKD fold means both rows encode identically (the native path now
+    # pre-folds non-ASCII input instead of falling back to numpy).
     np.testing.assert_array_equal(ell.ids[0], ell.ids[1])
     np.testing.assert_array_equal(ell.vals64[0], ell.vals64[1])
 
@@ -91,3 +92,39 @@ def test_non_ascii_falls_back():
 def test_empty_vocabulary_raises():
     with pytest.raises(ValueError, match="empty vocabulary"):
         TfidfEncoder(StringGrouperConfig()).fit_transform([",,", "  ", "a"])
+
+
+def test_unicode_prefold_native_parity():
+    """Non-ASCII corpora with normalize_to_ascii (default) pre-fold on the
+    host and still take the native path -- bitwise equal to the numpy
+    oracle, with the device payload + clean-hashes attached."""
+    corpus = [
+        "Café Müller GmbH", "Cafe Muller GmbH", "Ångström Labs",
+        "angstrom labs", "ínterñatiònal Hóldings", "plain ascii name",
+        "Ümlaut Industries Ltd.",
+    ]
+    enc = TfidfEncoder(StringGrouperConfig())
+    got = enc.fit_transform(corpus)
+    ref_enc = _numpy_encoder()
+    ref = ref_enc.fit_transform(corpus)
+    np.testing.assert_array_equal(enc.vocab_keys_, ref_enc.vocab_keys_)
+    np.testing.assert_array_equal(enc.idf_, ref_enc.idf_)
+    np.testing.assert_array_equal(got.ids, ref.ids)
+    np.testing.assert_array_equal(got.vals64, ref.vals64)
+    assert got.device_src is not None
+    assert got.device_src.row_hash is not None
+    # folded equality: accented and plain forms collapse to equal hashes
+    h = got.device_src.row_hash
+    assert h[0] == h[1]  # Café/Cafe
+    assert h[2] == h[3]  # Ångström/angstrom
+
+
+def test_unicode_prefold_transform_parity():
+    corpus = ["Café Müller", "Mega Corp", "Ångström"]
+    enc = TfidfEncoder(StringGrouperConfig()).fit(corpus)
+    ref = _numpy_encoder().fit(corpus)
+    new = ["café muller", "unknown ünïts", "mega corp"]
+    got = enc.transform(new)
+    exp = ref.transform(new)
+    np.testing.assert_array_equal(got.ids, exp.ids)
+    np.testing.assert_array_equal(got.vals64, exp.vals64)

@@ -78,18 +78,29 @@ class DeviceEncodeSrc:
 
     def take_rows(self, rows: np.ndarray) -> "DeviceEncodeSrc":
         """Arbitrary row subset (duplicate-collapse layer: upload only the
-        unique rows' bytes).  Vectorized ragged gather."""
-        rows = np.asarray(rows, dtype=np.int64)
+        unique rows' bytes).  Native one-memcpy-per-row gather; the numpy
+        fallback's repeat/arange index build is payload-sized."""
+        rows = np.ascontiguousarray(rows, dtype=np.int64)
         lens = np.diff(self.coff)[rows]
         coff = np.concatenate(([0], np.cumsum(lens)))
         total = int(coff[-1])
-        idx = (
-            np.repeat(self.coff[rows], lens)
-            + np.arange(total, dtype=np.int64)
-            - np.repeat(coff[:-1], lens)
-        )
+        lib = get_scorer_lib()
+        if lib is not None and hasattr(lib, "gather_rows_u8"):
+            flat = np.empty(total, dtype=np.uint8)
+            lib.gather_rows_u8(
+                np.ascontiguousarray(self.flat_codes),
+                np.ascontiguousarray(self.coff),
+                rows, len(rows), np.ascontiguousarray(coff), flat,
+            )
+        else:
+            idx = (
+                np.repeat(self.coff[rows], lens)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(coff[:-1], lens)
+            )
+            flat = self.flat_codes[idx]
         return DeviceEncodeSrc(
-            flat_codes=self.flat_codes[idx],
+            flat_codes=flat,
             coff=coff,
             inv_norm=self.inv_norm[rows],
             table_id=self.table_id,

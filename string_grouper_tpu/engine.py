@@ -228,14 +228,24 @@ class StringGrouper:
         n_right = len(self._right_Series)
         max_n = n_right if self._max_n_matches is None else self._max_n_matches
         with self.timings.phase("match"):
-            # Duplicate-collapse coding: exactly-equal strings share one
-            # matcher row (ops/matcher.py topn_cosine_matches); the
-            # expansion back to original rows is exact, so this is a
-            # pure wall-clock optimization.
-            left_codes, _ = pd.factorize(self._master)
+            # Duplicate-collapse coding: strings with equal cleaned content
+            # share one matcher row (ops/matcher.py topn_cosine_matches);
+            # the expansion back to original rows is exact, so this is a
+            # pure wall-clock optimization.  When the byte-level payload is
+            # present its clean hashes supersede a raw factorize, so the
+            # (corpus-sized) factorize only runs on payload-less paths.
+            def dup_codes(series, ell):
+                src = getattr(ell, "device_src", None)
+                if src is not None and src.row_hash is not None:
+                    # The matcher derives (strictly coarser) clean-equality
+                    # codes from the payload hashes itself.
+                    return None
+                return pd.factorize(series)[0]
+
+            left_codes = dup_codes(self._master, master_ell)
             right_codes = None
             if not is_self:
-                right_codes, _ = pd.factorize(self._duplicates)
+                right_codes = dup_codes(self._duplicates, dupes_ell)
             if self._config.mesh is not None:
                 from .parallel import distributed_topn_cosine_matches
 

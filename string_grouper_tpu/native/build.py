@@ -157,5 +157,7 @@ def get_scorer_lib() -> Optional[ctypes.CDLL]:
     lib.fill_code_rows.argtypes = [p_u8, p_i64, p_i32, i64, i64, p_u8]
     lib.fill_code_rows6.restype = None
     lib.fill_code_rows6.argtypes = [p_u8, p_i64, p_i32, i64, i64, p_u32]
+    lib.gather_rows_u8.restype = None
+    lib.gather_rows_u8.argtypes = [p_u8, p_i64, p_i64, i64, p_i64, p_u8]
     _lib = lib
     return _lib

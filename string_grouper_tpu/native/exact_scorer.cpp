@@ -671,6 +671,23 @@ void fill_code_rows(
     }
 }
 
+// Ragged row gather: out_flat receives the selected rows' byte runs
+// back-to-back (caller precomputes out_coff = exclusive prefix sum of the
+// selected lengths).  One memcpy per row -- the numpy repeat/arange gather
+// built several gather-index temporaries the size of the payload and
+// page-faulted for seconds at corpus scale.
+void gather_rows_u8(
+    const uint8_t* flat, const int64_t* coff, const int64_t* rows,
+    int64_t m, const int64_t* out_coff, uint8_t* out_flat)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < m; ++i) {
+        const int64_t r = rows[i];
+        std::memcpy(out_flat + out_coff[i], flat + coff[r],
+                    size_t(coff[r + 1] - coff[r]));
+    }
+}
+
 // fill_code_rows fused with the 6-bit pack (codes < 64: 5 per uint32 word,
 // zero-padded): one pass, no corpus-sized dense intermediate -- the numpy
 // shift/or chain built ~6 temporaries of the matrix size and page-faulted

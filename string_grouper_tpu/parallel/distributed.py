@@ -606,29 +606,27 @@ def distributed_topn_cosine_matches(
     right_m = left if is_self else _pad_width(right_m, width)
     max_n = right_m.n_rows if max_n_matches is None else max_n_matches
 
+    # Clean-equality refinement: when the byte-level payload is present its
+    # per-row hashes provide a (strictly coarser, byte-verified) duplicate
+    # coding by CLEANED content -- superseding any raw-equality coding.
+    if device_encode_enabled():
+        src_l = getattr(left, "device_src", None)
+        refined = _clean_refined_codes(src_l) if src_l is not None else None
+        if refined is not None:
+            left_codes = refined
+        if not is_self:
+            src_r = getattr(right_m, "device_src", None)
+            refined_r = (
+                _clean_refined_codes(src_r) if src_r is not None else None
+            )
+            if refined_r is not None:
+                right_codes = refined_r
     dedup = (
         left_codes is not None
         and (is_self or right_codes is not None)
         and len(left_codes) == left.n_rows
     )
     if dedup:
-        # Clean-equality refinement: when the byte-level payload is present
-        # its per-row hashes coarsen the raw-equality coding to cleaned-
-        # content equality (identical TF-IDF rows by construction).
-        if device_encode_enabled():
-            src_l = getattr(left, "device_src", None)
-            refined = (
-                _clean_refined_codes(src_l) if src_l is not None else None
-            )
-            if refined is not None:
-                left_codes = refined
-            if not is_self:
-                src_r = getattr(right_m, "device_src", None)
-                refined_r = (
-                    _clean_refined_codes(src_r) if src_r is not None else None
-                )
-                if refined_r is not None:
-                    right_codes = refined_r
         codes_l, first_l, perm_l, starts_l, counts_l = _group_positions(
             left_codes
         )

@@ -103,7 +103,7 @@ class TestShardInvariance:
 
 class TestMeshHotRowEscalation:
     @pytest.mark.parametrize("dp,mp", [(1, 4), (2, 2), (4, 1)])
-    def test_hot_rows_escalate_per_row_not_globally(self, dp, mp, caplog):
+    def test_hot_rows_escalate_per_row_not_globally(self, dp, mp, caplog, monkeypatch):
         """A cluster of near-identical strings overflows the initial
         candidate width; the mesh driver must re-match just those rows
         (per-row escalation, matcher.py adaptive_topn contract) instead of
@@ -111,6 +111,7 @@ class TestMeshHotRowEscalation:
         result must still equal the single-chip matcher's exactly."""
         import logging
 
+        monkeypatch.setenv("SG_TPU_DEVICE_ENCODE", "0")  # keep the hot rows uncollapsed
         strings = ["hyper mega global quantum systems incorporated"] * 40
         strings += [f"zzfiller{i} qq{i} ww{i}" for i in range(88)]
         config = StringGrouperConfig(min_similarity=0.8)

@@ -55,7 +55,13 @@ def planted_corpus(rng):
     for k in range(n_clusters):
         size = int(rng.choice([2, 3, 4, 5, 9, 17, 40]))
         text = f"planted cluster {k} {'x' * int(rng.integers(1, 6))} corp"
-        strings += [text] * size
+        # Half exact clones (exercising the duplicate-collapse expansion),
+        # half distinct single-char variants (exercising escalation -- the
+        # collapse layer cannot merge them).
+        strings += [
+            text if j % 2 == 0 else f"{text[:9]}{chr(97 + j % 26)}{text[9:]}"
+            for j in range(size)
+        ]
     perm = rng.permutation(len(strings))
     return [strings[i] for i in perm]
 

@@ -329,15 +329,18 @@ def test_tiling_invariance_cross_join(left_chunk, right_tile, hash_dim):
     np.testing.assert_allclose(got.sims, base.sims, rtol=0, atol=0)
 
 
-def test_exact_width_clusters_terminate(caplog):
+def test_exact_width_clusters_terminate(caplog, monkeypatch):
     """Regression (advisor, round 1): a row whose qualified-candidate count
     lands exactly on the escalated pow2 candidate width used to keep
     reporting a finite truncation drop bound with nothing actually dropped,
     and the escalation loop re-ran at identical widths forever.  64
-    near-identical strings + filler, max_n_matches=2, right_tile=64."""
+    near-identical strings + filler, max_n_matches=2, right_tile=64.
+    The payload is pinned off so the identical strings do NOT collapse --
+    this test exists to exercise the uncollapsed escalation loop."""
     import logging
     import signal
 
+    monkeypatch.setenv("SG_TPU_DEVICE_ENCODE", "0")
     strings = ["hyper mega global quantum systems incorporated"] * 64
     strings += [f"zzfiller{i} qq{i} ww{i}" for i in range(192)]
     enc = TfidfEncoder(StringGrouperConfig())
@@ -421,6 +424,9 @@ class TestShipCompaction:
         from string_grouper_tpu.ops import matcher as M
 
         monkeypatch.setattr(M, "_ROWS_COMPACT_MIN", 0)
+        # payload off: the identical hot strings must NOT collapse -- this
+        # test exercises the uncollapsed escalation download compaction
+        monkeypatch.setenv("SG_TPU_DEVICE_ENCODE", "0")
         strings = ["hyper mega global quantum systems incorporated"] * 40
         strings += random_names(200, seed=6)
         enc = TfidfEncoder(StringGrouperConfig())

@@ -2068,49 +2068,31 @@ def _expand_dedup(
     )
 
 
-def topn_cosine_matches(
+def match_with_collapse(
     left: EllMatrix,
-    right: Optional[EllMatrix],
+    right_m: EllMatrix,
+    is_self: bool,
     min_similarity: float,
-    max_n_matches: Optional[int],
-    *,
-    force_symmetries: bool = True,
-    hash_dim: int = 512,
-    topn_slack: int = 8,  # legacy knob; selection is now always complete
-    left_chunk: int = 4096,
-    right_tile: int = 4096,
-    score_dtype=np.float64,
-    left_codes: Optional[np.ndarray] = None,
-    right_codes: Optional[np.ndarray] = None,
+    max_n: int,
+    score_dtype,
+    left_codes: Optional[np.ndarray],
+    right_codes: Optional[np.ndarray],
+    phase1_factory,
 ) -> MatchPairs:
-    """Full matcher: returns the reference-equivalent matches list.
+    """Shared driver of the duplicate-collapse layer for the single-chip
+    and mesh matchers.
 
-    ``right=None`` means self-join (reference: duplicate_matrix = master
-    matrix, string_grouper.py:693-695).
+    ``phase1_factory(left_sel, right_sel)`` builds the phase-1 closures for
+    the (possibly row-selected) matrices and returns
+    ``(run, run_rows, c_cap, tile, n_tiles)``.
 
-    ``left_codes`` / ``right_codes`` enable the duplicate-collapse layer:
-    a group coding of exactly-equal input strings (e.g. ``pd.factorize``).
-    Identical strings have identical TF-IDF rows, hence identical
-    similarities to everything -- so the device scan, downloads, and exact
-    rescore all run over UNIQUE rows only, and the results expand back to
-    original rows on the host (``_expand_dedup``, with the tie-break
-    argument in its docstring).  Output is bitwise-identical to the
-    uncollapsed path; tie-heavy corpora (clusters of equal strings) shrink
-    from O(cluster^2) shipped candidates to O(unique^2).
+    When the byte-level payload is present, its per-row hashes provide a
+    (strictly coarser, byte-verified) duplicate coding by CLEANED content,
+    superseding any raw-equality coding the caller passed.  With an
+    effective coding that actually collapses something, the scan runs over
+    unique rows and the result expands back exactly (``_expand_dedup``);
+    otherwise the plain whole-corpus pass runs.
     """
-    del topn_slack
-    is_self = right is None
-    right_m = left if is_self else right
-    # Equalize ELL widths so host scoring sees consistent padding
-    # (multiple of 8 for shape bucketing; pow2 would waste upload bytes).
-    width = -(-max(left.width, right_m.width, 8) // 8) * 8
-    left = _pad_width(left, width)
-    right_m = left if is_self else _pad_width(right_m, width)
-    max_n = right_m.n_rows if max_n_matches is None else max_n_matches
-
-    # Clean-equality refinement: when the byte-level payload is present its
-    # per-row hashes provide a (strictly coarser, byte-verified) duplicate
-    # coding by CLEANED content -- superseding any raw-equality coding.
     if device_encode_enabled():
         src_l = getattr(left, "device_src", None)
         refined = _clean_refined_codes(src_l) if src_l is not None else None
@@ -2146,41 +2128,87 @@ def topn_cosine_matches(
         dedup = u_left < left.n_rows or u_right < right_m.n_rows
 
     if not dedup:
-        run, run_rows, n_right_p, tile, n_tiles = _phase1_single(
-            left, right_m, is_self, hash_dim, left_chunk, right_tile
-        )
-        c0 = initial_cand_c(min_similarity, max_n, right_m.n_rows, n_right_p)
+        run, run_rows, c_cap, tile, n_tiles = phase1_factory(None, None)
+        c0 = initial_cand_c(min_similarity, max_n, right_m.n_rows, c_cap)
         kt0 = initial_k_tile(min_similarity, right_m.n_rows, tile, c0)
-        pairs = adaptive_topn(
+        return adaptive_topn(
             run, left, right_m, min_similarity, max_n,
-            c_cap=n_right_p, kt_cap=tile, n_tiles=n_tiles, c0=c0, kt0=kt0,
+            c_cap=c_cap, kt_cap=tile, n_tiles=n_tiles, c0=c0, kt0=kt0,
             phase1_run_rows=run_rows, score_dtype=score_dtype,
         )
-    else:
-        run, run_rows, n_right_p, tile, n_tiles = _phase1_single(
+    run, run_rows, c_cap, tile, n_tiles = phase1_factory(first_l, first_r)
+    c0 = initial_cand_c(min_similarity, max_n, u_right, c_cap)
+    kt0 = initial_k_tile(min_similarity, u_right, tile, c0)
+    pairs_u = adaptive_topn(
+        run, left, right_m, min_similarity, max_n,
+        c_cap=c_cap, kt_cap=tile, n_tiles=n_tiles, c0=c0, kt0=kt0,
+        phase1_run_rows=run_rows, score_dtype=score_dtype,
+        left_map=first_l.astype(np.int64),
+        right_map=first_r.astype(np.int64),
+        n_left=u_left, n_right=u_right,
+    )
+    min_sim_sel = (
+        float(np.float32(min_similarity))
+        if np.dtype(score_dtype) == np.float32
+        else min_similarity
+    )
+    return _expand_dedup(
+        pairs_u, codes_l, perm_r, starts_r, counts_r,
+        u_left, left.n_rows, min_sim_sel,
+        min(max_n, right_m.n_rows),
+    )
+
+
+def topn_cosine_matches(
+    left: EllMatrix,
+    right: Optional[EllMatrix],
+    min_similarity: float,
+    max_n_matches: Optional[int],
+    *,
+    force_symmetries: bool = True,
+    hash_dim: int = 512,
+    topn_slack: int = 8,  # legacy knob; selection is now always complete
+    left_chunk: int = 4096,
+    right_tile: int = 4096,
+    score_dtype=np.float64,
+    left_codes: Optional[np.ndarray] = None,
+    right_codes: Optional[np.ndarray] = None,
+) -> MatchPairs:
+    """Full matcher: returns the reference-equivalent matches list.
+
+    ``right=None`` means self-join (reference: duplicate_matrix = master
+    matrix, string_grouper.py:693-695).
+
+    ``left_codes`` / ``right_codes`` enable the duplicate-collapse layer:
+    a group coding of exactly-equal input strings (e.g. ``pd.factorize``).
+    Identical strings have identical TF-IDF rows, hence identical
+    similarities to everything -- so the device scan, downloads, and exact
+    rescore all run over UNIQUE rows only, and the results expand back to
+    original rows on the host (``_expand_dedup``, with the tie-break
+    argument in its docstring).  When the encoder attached a byte-level
+    payload, clean-equality codes are derived automatically (see
+    ``match_with_collapse``).  Output is bitwise-identical to the
+    uncollapsed path; tie-heavy corpora (clusters of equal strings) shrink
+    from O(cluster^2) shipped candidates to O(unique^2).
+    """
+    del topn_slack
+    is_self = right is None
+    right_m = left if is_self else right
+    # Equalize ELL widths so host scoring sees consistent padding
+    # (multiple of 8 for shape bucketing; pow2 would waste upload bytes).
+    width = -(-max(left.width, right_m.width, 8) // 8) * 8
+    left = _pad_width(left, width)
+    right_m = left if is_self else _pad_width(right_m, width)
+    max_n = right_m.n_rows if max_n_matches is None else max_n_matches
+
+    pairs = match_with_collapse(
+        left, right_m, is_self, min_similarity, max_n, score_dtype,
+        left_codes, right_codes,
+        lambda ls, rs: _phase1_single(
             left, right_m, is_self, hash_dim, left_chunk, right_tile,
-            left_sel=first_l, right_sel=first_r,
-        )
-        c0 = initial_cand_c(min_similarity, max_n, u_right, n_right_p)
-        kt0 = initial_k_tile(min_similarity, u_right, tile, c0)
-        pairs_u = adaptive_topn(
-            run, left, right_m, min_similarity, max_n,
-            c_cap=n_right_p, kt_cap=tile, n_tiles=n_tiles, c0=c0, kt0=kt0,
-            phase1_run_rows=run_rows, score_dtype=score_dtype,
-            left_map=first_l.astype(np.int64),
-            right_map=first_r.astype(np.int64),
-            n_left=u_left, n_right=u_right,
-        )
-        min_sim_sel = (
-            float(np.float32(min_similarity))
-            if np.dtype(score_dtype) == np.float32
-            else min_similarity
-        )
-        pairs = _expand_dedup(
-            pairs_u, codes_l, perm_r, starts_r, counts_r,
-            u_left, left.n_rows, min_sim_sel,
-            min(max_n, right_m.n_rows),
-        )
+            left_sel=ls, right_sel=rs,
+        ),
+    )
     if is_self and force_symmetries:
         return apply_self_join_fixups(pairs, left.n_rows)
     return order_like_reference_csr(pairs)

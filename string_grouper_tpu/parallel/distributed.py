@@ -592,12 +592,7 @@ def distributed_topn_cosine_matches(
     ops/matcher.py) -- the collapse/expansion happens on the controller,
     the unique-row scan under the mesh.
     """
-    from ..ops.matcher import (
-        _clean_refined_codes,
-        _expand_dedup,
-        _group_positions,
-        device_encode_enabled,
-    )
+    from ..ops.matcher import match_with_collapse
 
     is_self = right is None
     right_m = left if is_self else right
@@ -606,77 +601,14 @@ def distributed_topn_cosine_matches(
     right_m = left if is_self else _pad_width(right_m, width)
     max_n = right_m.n_rows if max_n_matches is None else max_n_matches
 
-    # Clean-equality refinement: when the byte-level payload is present its
-    # per-row hashes provide a (strictly coarser, byte-verified) duplicate
-    # coding by CLEANED content -- superseding any raw-equality coding.
-    if device_encode_enabled():
-        src_l = getattr(left, "device_src", None)
-        refined = _clean_refined_codes(src_l) if src_l is not None else None
-        if refined is not None:
-            left_codes = refined
-        if not is_self:
-            src_r = getattr(right_m, "device_src", None)
-            refined_r = (
-                _clean_refined_codes(src_r) if src_r is not None else None
-            )
-            if refined_r is not None:
-                right_codes = refined_r
-    dedup = (
-        left_codes is not None
-        and (is_self or right_codes is not None)
-        and len(left_codes) == left.n_rows
-    )
-    if dedup:
-        codes_l, first_l, perm_l, starts_l, counts_l = _group_positions(
-            left_codes
-        )
-        if is_self:
-            codes_r, first_r, perm_r, starts_r, counts_r = (
-                codes_l, first_l, perm_l, starts_l, counts_l
-            )
-        else:
-            codes_r, first_r, perm_r, starts_r, counts_r = _group_positions(
-                right_codes
-            )
-        u_left, u_right = len(first_l), len(first_r)
-        dedup = u_left < left.n_rows or u_right < right_m.n_rows
-
-    if not dedup:
-        run, run_rows, n_loc, tile, n_tiles_loc = _phase1_distributed(
-            left, right_m, is_self, mesh, hash_dim, left_chunk, right_tile
-        )
-        c0 = initial_cand_c(min_similarity, max_n, right_m.n_rows, n_loc)
-        kt0 = initial_k_tile(min_similarity, right_m.n_rows, tile, c0)
-        pairs = adaptive_topn(
-            run, left, right_m, min_similarity, max_n,
-            c_cap=n_loc, kt_cap=tile, n_tiles=n_tiles_loc, c0=c0, kt0=kt0,
-            phase1_run_rows=run_rows, score_dtype=score_dtype,
-        )
-    else:
-        run, run_rows, n_loc, tile, n_tiles_loc = _phase1_distributed(
+    pairs = match_with_collapse(
+        left, right_m, is_self, min_similarity, max_n, score_dtype,
+        left_codes, right_codes,
+        lambda ls, rs: _phase1_distributed(
             left, right_m, is_self, mesh, hash_dim, left_chunk, right_tile,
-            left_sel=first_l, right_sel=first_r,
-        )
-        c0 = initial_cand_c(min_similarity, max_n, u_right, n_loc)
-        kt0 = initial_k_tile(min_similarity, u_right, tile, c0)
-        pairs_u = adaptive_topn(
-            run, left, right_m, min_similarity, max_n,
-            c_cap=n_loc, kt_cap=tile, n_tiles=n_tiles_loc, c0=c0, kt0=kt0,
-            phase1_run_rows=run_rows, score_dtype=score_dtype,
-            left_map=first_l.astype(np.int64),
-            right_map=first_r.astype(np.int64),
-            n_left=u_left, n_right=u_right,
-        )
-        min_sim_sel = (
-            float(np.float32(min_similarity))
-            if np.dtype(score_dtype) == np.float32
-            else min_similarity
-        )
-        pairs = _expand_dedup(
-            pairs_u, codes_l, perm_r, starts_r, counts_r,
-            u_left, left.n_rows, min_sim_sel,
-            min(max_n, right_m.n_rows),
-        )
+            left_sel=ls, right_sel=rs,
+        ),
+    )
     if is_self and force_symmetries:
         return apply_self_join_fixups(pairs, left.n_rows)
     return order_like_reference_csr(pairs)

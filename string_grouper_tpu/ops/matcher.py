@@ -2,38 +2,50 @@
 
 Pipeline (replaces reference ``_build_matches``, string_grouper.py:709-752):
 
-  upload (host -> device, wire-minimal): each TF-IDF row is shipped as
-      packed int32 slots ``(hash_bucket << 16) | qval`` -- the value
-      quantized UPWARD to uint16 (ceil), so device-side scores stay upper
-      bounds.  4 bytes per nonzero instead of the 12-byte ELL entry or the
-      2-byte-per-bucket dense hash.
-  device hash: rows expand to dense ``hash_dim``-wide bfloat16 vectors by a
-      tiled compare-reduce (no scatter -- TPU scatters are slow).
-  phase 1 (device, MXU): hashed upper-bound scores ``A_hash @ B_hash.T``
-      streamed over right tiles (``lax.scan``).  Because TF-IDF values are
-      non-negative, hashed scores are a provable upper bound on the exact
-      cosine similarity (see ops/hashing.py), so thresholding them can
-      produce false positives but never false negatives.  Per tile the top
-      ``k_tile`` qualified columns are extracted by iterated max/argmax
-      (cheap VPU passes, no sorts), then one per-chunk top-C merge -- the
-      single-chip form of the reference's ``zip_sp_matmul_topn`` block
-      combine (string_grouper.py:746).
-  download: candidate column ids only (int32, -1 sentinel) plus one
-      per-row scalar (an upper bound on every DROPPED candidate) for the
-      exactness check -- similarities never cross the wire.
-  phase 2 (host, native C++/OpenMP): exact float64 merge-scoring of the
-      shipped candidates (native/exact_scorer.cpp; numpy fallback), then
-      threshold + per-row top-n selection with deterministic tie-breaking
-      (higher similarity first, then smaller column), and self-join fix-ups
-      (exact-1 diagonal + symmetrization, reference
-      string_grouper.py:419-427,954-964).
+  duplicate collapse (host): strings with equal CLEANED content have
+      identical TF-IDF rows, so they share one matcher row (grouped by the
+      payload's native per-row hashes, byte-verified; raw-equality codes
+      from the caller cover payload-less paths).  Results expand back
+      exactly (``_expand_dedup``; ``match_with_collapse``).
+  upload (host -> device, wire-minimal): with the byte-level payload
+      (DeviceEncodeSrc) the unique rows ship as 6-bit-packed cleaned
+      character codes (~0.8 B/char) and the device rebuilds the hashed
+      projection itself; otherwise rows ship as packed int32 slots
+      ``(hash_bucket << 16) | qval`` with the value quantized UPWARD
+      (upper bounds preserved), 4 bytes per nonzero.
+  phase 1 (device, MXU): hashed upper-bound scores ``A_hash @ B_hash.T``.
+      Because TF-IDF values are non-negative, hashed scores are a provable
+      upper bound on the exact cosine similarity (see ops/hashing.py), so
+      thresholding them can produce false positives but never false
+      negatives.  On TPU the default path is the fused Pallas kernel
+      (pallas_kernels.p1_fused_closed2: matmul + threshold + closed-form
+      top-2 extraction + running top-C merge, score block VMEM-resident);
+      the XLA tile body here (``_ub_topk_scan``: per-tile top ``k_tile``
+      by iterated max/argmax + per-chunk top-C merge) is the oracle and
+      serves CPU tests, the mesh path, escalation re-matches, and
+      thresholdless runs.  The top-C merge is the single-chip form of the
+      reference's ``zip_sp_matmul_topn`` block combine
+      (string_grouper.py:746).
+  download: candidate column ids only (ragged-prefix-compacted, 20-bit
+      packed, ONE wire transfer per segment) plus per-row metadata
+      including an upper bound on every DROPPED candidate -- similarities
+      never cross the wire.
+  phase 2 (host, native C++/OpenMP): exact merge-scoring of the shipped
+      candidates in the matrix dtype (float64, or float32 accumulation for
+      ``tfidf_matrix_dtype=float32``; native/exact_scorer.cpp, numpy
+      fallback), then threshold + per-row top-n selection with
+      deterministic tie-breaking (higher similarity first, then smaller
+      column), and self-join fix-ups (exact-1 diagonal + symmetrization,
+      reference string_grouper.py:419-427,954-964).  Per-segment scoring,
+      selection, and escalation dispatch all stream against the device
+      scan of later segments.
 
 Exactness: the adaptive driver guarantees no qualifying pair is dropped.
 The device reports a per-row upper bound on everything it dropped (per-tile
 ``k_tile`` overflow or top-C truncation); any row whose bound could still
 qualify AND beat the row's exact top-n cut is re-matched individually at
 widths large enough to drop nothing.  All reported similarities are exact
-float64.
+in the configured matrix dtype.
 """
 
 from __future__ import annotations

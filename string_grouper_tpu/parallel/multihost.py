@@ -1,0 +1,299 @@
+"""True multi-process (multi-host) matching: the DCN form of the pipeline.
+
+Every function here runs under ``jax.distributed`` multi-controller SPMD:
+N processes, each holding ONLY its shard of the corpus strings, with a
+global device mesh spanning all processes.  This is the executable form of
+docs/architecture.md's "Multi-host status and DCN plan" -- exercised by
+tests/test_multihost.py on two CPU processes with gloo collectives, and
+shaped so a TPU pod slice (ICI within hosts, DCN across) runs the same
+program.
+
+Cross-host traffic, by stage (nothing else leaves a host):
+
+  1. key-packing width: one scalar max (``process_allgather``).
+  2. vocabulary: union of per-shard sorted unique key sets (vocab-sized).
+  3. document frequency: one |vocab|-int vector per host, reduced on
+     device (the psum ride).  IDF replicates.
+  4. hashed projections: each host's shard of the bf16 hash matrix forms a
+     globally-sharded device array (``make_array_from_process_local_data``)
+     -- the phase-1 matmul reads it over the interconnect, not the host.
+  5. exact ELL blocks: one corpus-sized allgather so every host can score
+     ITS OWN left rows' candidates exactly (one bulk pass beats
+     per-candidate fetches; the reference's exact values are the corpus
+     encode itself).
+  6. candidate ids: the per-shard top-k ``all_gather`` merge inside the
+     mesh program (the reference's ``zip_sp_matmul_topn`` collective form).
+
+Selection and output assembly stay per-host for the left rows that host
+owns.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import StringGrouperConfig
+from ..corpus.tfidf import EllMatrix, _ell_from_unique_pairs
+from ..ops.matcher import (
+    _next_pow2,
+    _pairs_from_ship,
+    _select_topn,
+    build_hash_matrix,
+    effective_threshold,
+    initial_cand_c,
+    match_block,
+)
+from ..ops.rescore import rescore_pairs_fp64
+
+__all__ = ["multihost_encode_shard", "multihost_match_shard"]
+
+
+def _allgather_host(x: np.ndarray):
+    """Host-value allgather across processes (rides a device collective).
+
+    Transports RAW BYTES: without ``jax_enable_x64`` a jax round-trip would
+    silently truncate uint64 vocabulary keys and float64 exact values to
+    32 bits.  Returns shape ``(nproc, *x.shape)`` in x's dtype."""
+    from jax.experimental import multihost_utils as mhu
+
+    x = np.ascontiguousarray(x)
+    raw = x.reshape(-1).view(np.uint8)
+    g = np.asarray(mhu.process_allgather(raw, tiled=False))
+    return np.stack(
+        [g[p].view(x.dtype).reshape(x.shape) for p in range(g.shape[0])]
+    )
+
+
+def multihost_encode_shard(
+    shard_strings, config: StringGrouperConfig
+) -> Tuple[EllMatrix, np.ndarray, int]:
+    """Shard-local encode under multi-controller SPMD.
+
+    Consumes ONLY this process's strings; agrees globally on the packing
+    width, the vocabulary, and the document frequencies (stages 1-3 of the
+    module docstring).  Returns (local ELL block over the GLOBAL
+    vocabulary, float64 IDF, global doc count) -- bitwise identical to the
+    corresponding rows of a single-process fit over the concatenated
+    corpus (tests/test_multihost.py).
+    """
+    from ..corpus.ngrams import (
+        extract_packed_keys,
+        extract_windows,
+        packed_key_bits,
+        windows_as_sortable_keys,
+    )
+    from ..corpus.preprocess import clean_corpus
+    from ..corpus.tfidf import _EMPTY_VOCAB_MSG, _unique_row_term_counts
+
+    corpus = clean_corpus(list(shard_strings), config)
+
+    # 1. Global key-packing width: one scalar max across hosts.
+    maxcp_local = np.array([int(corpus.buf.max(initial=0))], dtype=np.int64)
+    maxcp = int(_allgather_host(maxcp_local).max())
+    bits0 = packed_key_bits(maxcp)
+    if bits0 * config.ngram_size > 64:
+        bits0 = None
+
+    if bits0 is not None:
+        keys, row_ids, n_rows, _ = extract_packed_keys(
+            corpus, config.ngram_size, bits0
+        )
+    else:
+        win = extract_windows(corpus, config.ngram_size)
+        keys, row_ids, n_rows = (
+            windows_as_sortable_keys(win.windows), win.row_ids, win.n_rows
+        )
+    if bits0 is None:
+        raise NotImplementedError(
+            "multi-host demo covers the packed-key (<= 64-bit n-gram) path"
+        )
+
+    # 2. Vocabulary union: per-shard sorted unique key sets, padded to the
+    # global max length for the allgather (sentinel ~0 dropped after).
+    local_vocab = np.unique(keys) if len(keys) else np.zeros(0, np.uint64)
+    n_loc = np.array([len(local_vocab)], dtype=np.int64)
+    max_loc = int(_allgather_host(n_loc).max())
+    if max_loc == 0:
+        raise ValueError(_EMPTY_VOCAB_MSG)
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    padded = np.full(max_loc, sentinel, dtype=np.uint64)
+    padded[: len(local_vocab)] = local_vocab
+    gathered = _allgather_host(padded).reshape(-1)
+    vocab = np.unique(gathered)
+    vocab = vocab[vocab != sentinel]
+    n_terms = len(vocab)
+
+    # 3. Document frequency: per-shard partial -> device psum across every
+    # process's devices (the DCN ride), IDF replicated.
+    t_idx = np.searchsorted(vocab, keys)
+    rows, terms, tf = _unique_row_term_counts(row_ids, t_idx, n_terms)
+    df_local = np.bincount(terms, minlength=n_terms).astype(np.int64)
+    df = _allgather_host(df_local).sum(axis=0)
+    n_docs_local = np.array([n_rows], dtype=np.int64)
+    n_docs = int(_allgather_host(n_docs_local).sum())
+    idf = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+
+    # 4. Shard-local values/norms/ELL over the global vocabulary.
+    w = tf.astype(np.float64) * idf[terms]
+    norm_sq = np.bincount(rows, weights=w * w, minlength=n_rows)
+    norm = np.sqrt(norm_sq)
+    inv = np.zeros(n_rows, dtype=np.float64)
+    nz = norm > 0
+    inv[nz] = 1.0 / norm[nz]
+    width_local = np.array(
+        [int(np.bincount(rows, minlength=n_rows).max(initial=0))], np.int64
+    )
+    width = max(8, -(-int(_allgather_host(width_local).max()) // 8) * 8)
+    ell = _ell_from_unique_pairs(
+        rows, terms, w * inv[rows], n_rows, n_terms, width=width
+    )
+    return ell, idf, n_docs
+
+
+def multihost_match_shard(
+    local_ell: EllMatrix,
+    shard_row0: int,
+    n_total: int,
+    min_similarity: float,
+    max_n_matches: int,
+    *,
+    hash_dim: int = 128,
+    tile: int = 8,
+):
+    """Self-join matching under multi-controller SPMD: this process owns
+    rows [shard_row0, shard_row0 + local_ell.n_rows) of the corpus and
+    returns the EXACT top-n matches for those rows only.
+
+    Stages 4-6 of the module docstring: local hash block -> globally
+    sharded device array; phase 1 under ``shard_map`` over the global mesh
+    (per-shard top-k + ``all_gather`` candidate merge); exact ELL blocks
+    allgathered once; per-host fp64 rescore + selection of the owned rows.
+    """
+    n_local = local_ell.n_rows
+    nproc = jax.process_count()
+    devs = jax.devices()
+    n_dev = len(devs)
+    mesh = Mesh(np.array(devs).reshape(1, n_dev), ("dp", "mp"))
+
+    # Per-device shard size (rows), padded to whole tiles.
+    per_dev = -(-max(-(-n_total // n_dev), 8) // tile) * tile
+    n_pad_local = per_dev * (n_dev // nproc)
+    h_local = build_hash_matrix(local_ell, n_pad_local, hash_dim)
+    h_local = np.asarray(h_local)
+
+    b_hash = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("mp", None)),
+        h_local.reshape(n_pad_local, hash_dim),
+    )
+
+    # Exact blocks: one bulk allgather (stage 5).  Widths were agreed at
+    # encode; row counts may differ per shard -- pad to the global max.
+    local_ell.wait_ready()
+    n_max = int(_allgather_host(np.array([n_local], np.int64)).max())
+    ids_p = np.full((n_max, local_ell.width), -1, dtype=np.int32)
+    ids_p[:n_local] = local_ell.ids
+    vals_p = np.zeros((n_max, local_ell.width), dtype=np.float64)
+    vals_p[:n_local] = local_ell.vals64
+    counts = _allgather_host(np.array([n_local], np.int64)).reshape(-1)
+    ids_g = _allgather_host(ids_p)
+    vals_g = _allgather_host(vals_p)
+    full_ids = np.concatenate([ids_g[p, : counts[p]] for p in range(nproc)])
+    full_vals = np.concatenate([vals_g[p, : counts[p]] for p in range(nproc)])
+    full_ell = EllMatrix(
+        ids=full_ids, vals64=full_vals, n_terms=local_ell.n_terms
+    )
+
+    # Phase 1 over the global mesh: every process runs the same program on
+    # the same global arrays; the left side is the (replicated) full hash
+    # matrix, assembled from the same allgathered blocks.
+    n_pad_all = per_dev * n_dev
+    # Rebuild the replicated left hash from the exact blocks (hash is a
+    # pure function of the ELL + global vocab, so this equals an allgather
+    # of the per-host hash blocks without a second collective).
+    a_hash = build_hash_matrix(full_ell, n_pad_all, hash_dim)
+    chunk = min(8, per_dev)
+    a_chunks = a_hash.reshape(-1, chunk, hash_dim)
+
+    cand_c = initial_cand_c(
+        min_similarity, max_n_matches, n_total, per_dev
+    )
+    kt = tile  # full per-tile extraction: only top-C truncation can drop
+    thr = jnp.float32(effective_threshold(min_similarity))
+
+    def scan_chunks(a_chunks_r, b_loc, thr_s):
+        b_tiles = b_loc.reshape(-1, tile, hash_dim)
+
+        def body(_, a_hash_c):
+            w_vals, w_cols, cnts, tmax, bound = match_block(
+                a_hash_c, b_tiles, thr_s, cand_c, kt
+            )
+            neg = jnp.float32(-jnp.inf)
+            n_loc_rows = b_loc.shape[0]
+            cols_loc = jnp.where(
+                w_vals > neg,
+                w_cols + jax.lax.axis_index("mp") * n_loc_rows,
+                -1,
+            )
+            gc = jax.lax.all_gather(cols_loc, "mp")  # (mp, m, W)
+            mp_sz, m, w = gc.shape
+            cols = jnp.swapaxes(gc, 0, 1).reshape(m, mp_sz * w)
+            return None, (cols, jax.lax.pmax(bound, "mp"))
+
+        _, (cols, bound) = jax.lax.scan(body, None, a_chunks_r)
+        return cols.reshape(-1, cols.shape[-1]), bound.reshape(-1)
+
+    fn = jax.jit(shard_map(
+        scan_chunks,
+        mesh=mesh,
+        in_specs=(P(None, None, None), P("mp", None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    cols_rep, bound_rep = fn(a_chunks, b_hash, thr)
+
+    # Demonstration scope: no escalation driver under multi-controller yet.
+    # The drop bound makes the limitation LOUD instead of silent: a row
+    # whose truncated candidates could still qualify raises.
+    bound_h = np.asarray(bound_rep)[shard_row0 : shard_row0 + n_local]
+    if np.any(bound_h * 1.01 + 1e-4 >= max(min_similarity, 1e-9)):
+        raise NotImplementedError(
+            "multihost_match_shard dropped candidates that could qualify; "
+            "raise tile/cand_c (the adaptive escalation driver is not yet "
+            "wired for multi-controller)"
+        )
+
+    # Stage 6 onward is per-host: this process reads its OWN rows from the
+    # replicated candidate matrix and scores/selects them exactly.
+    cols_h = np.asarray(cols_rep)[shard_row0 : shard_row0 + n_local]
+    # Device row ids include per-device padding; map back to corpus rows.
+    dev_rows = cols_h  # ids in padded device space
+    dev_of = dev_rows // per_dev
+    within = dev_rows % per_dev
+    # per-process padded blocks were size n_pad_local with the process's
+    # rows first; translate padded device ids -> global corpus ids.
+    rows_per_proc = counts
+    proc_starts = np.concatenate(([0], np.cumsum(rows_per_proc)[:-1]))
+    dev_per_proc = n_dev // nproc
+    proc_of = dev_of // dev_per_proc
+    within_proc = (dev_of % dev_per_proc) * per_dev + within
+    corpus_col = proc_starts[proc_of] + within_proc
+    valid = (
+        (cols_h >= 0)
+        & (within_proc < rows_per_proc[np.minimum(proc_of, nproc - 1)])
+    )
+    cols_mapped = np.where(valid, corpus_col, -1)
+    rows_l, cols_f = _pairs_from_ship(cols_mapped, n_total)
+    rows_g = rows_l + shard_row0
+    sims = rescore_pairs_fp64(full_ell, full_ell, rows_g, cols_f)
+    # Local selection for the owned rows (global row ids).
+    r_s, c_s, s_s, _, _ = _select_topn(
+        rows_l, cols_f, sims, n_local, min_similarity,
+        min(max_n_matches, n_total),
+    )
+    return r_s + shard_row0, c_s, s_s

@@ -1,0 +1,57 @@
+"""TRUE multi-process (multi-host) pipeline test.
+
+Spawns two OS processes, each with its own jax runtime (2 virtual CPU
+devices each) joined via ``jax.distributed`` + gloo collectives into one
+4-device global mesh -- the closest single-machine analog of a 2-host TPU
+deployment.  Each process holds ONLY its shard of the corpus strings;
+every cross-process byte rides a device collective (vocab union, DF psum,
+sharded hash matrix, exact-block allgather, candidate all_gather).
+
+Asserted inside each worker (tests/mh_worker.py):
+  * the shard-local encode is BITWISE identical to the corresponding rows
+    of a single-process fit over the whole corpus (vocab, IDF, ELL);
+  * the per-host top-n match results for the rows that host owns are
+    exactly the single-process matcher's.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+WORKER = Path(__file__).with_name("mh_worker.py")
+
+
+def _gloo_available() -> bool:
+    try:
+        import jax
+
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _gloo_available(), reason="no gloo collectives")
+def test_two_process_pipeline():
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    port = "12399"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(i), "2", port],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"WORKER_ENCODE_OK {i}" in out
+        assert f"WORKER_OK {i}" in out

@@ -165,6 +165,7 @@ def multihost_match_shard(
     *,
     hash_dim: int = 128,
     tile: int = 8,
+    cand_c0: Optional[int] = None,
 ):
     """Self-join matching under multi-controller SPMD: this process owns
     rows [shard_row0, shard_row0 + local_ell.n_rows) of the corpus and
@@ -174,6 +175,11 @@ def multihost_match_shard(
     sharded device array; phase 1 under ``shard_map`` over the global mesh
     (per-shard top-k + ``all_gather`` candidate merge); exact ELL blocks
     allgathered once; per-host fp64 rescore + selection of the owned rows.
+    Rows whose drop bound could still matter escalate as ONE union
+    re-match at the provably-complete width -- the union allgathers first
+    so every process dispatches identical collectives.  ``cand_c0``
+    overrides the initial candidate width (tests use it to force the
+    escalation path).
     """
     n_local = local_ell.n_rows
     nproc = jax.process_count()
@@ -220,80 +226,130 @@ def multihost_match_shard(
     chunk = min(8, per_dev)
     a_chunks = a_hash.reshape(-1, chunk, hash_dim)
 
-    cand_c = initial_cand_c(
+    cand_c = cand_c0 or initial_cand_c(
         min_similarity, max_n_matches, n_total, per_dev
     )
     kt = tile  # full per-tile extraction: only top-C truncation can drop
     thr = jnp.float32(effective_threshold(min_similarity))
 
-    def scan_chunks(a_chunks_r, b_loc, thr_s):
-        b_tiles = b_loc.reshape(-1, tile, hash_dim)
+    def make_scan(cand_w):
+        def scan_chunks(a_chunks_r, b_loc, thr_s):
+            b_tiles = b_loc.reshape(-1, tile, hash_dim)
 
-        def body(_, a_hash_c):
-            w_vals, w_cols, cnts, tmax, bound = match_block(
-                a_hash_c, b_tiles, thr_s, cand_c, kt
-            )
-            neg = jnp.float32(-jnp.inf)
-            n_loc_rows = b_loc.shape[0]
-            cols_loc = jnp.where(
-                w_vals > neg,
-                w_cols + jax.lax.axis_index("mp") * n_loc_rows,
-                -1,
-            )
-            gc = jax.lax.all_gather(cols_loc, "mp")  # (mp, m, W)
-            mp_sz, m, w = gc.shape
-            cols = jnp.swapaxes(gc, 0, 1).reshape(m, mp_sz * w)
-            return None, (cols, jax.lax.pmax(bound, "mp"))
+            def body(_, a_hash_c):
+                w_vals, w_cols, cnts, tmax, bound = match_block(
+                    a_hash_c, b_tiles, thr_s, cand_w, kt
+                )
+                neg = jnp.float32(-jnp.inf)
+                n_loc_rows = b_loc.shape[0]
+                cols_loc = jnp.where(
+                    w_vals > neg,
+                    w_cols + jax.lax.axis_index("mp") * n_loc_rows,
+                    -1,
+                )
+                gc = jax.lax.all_gather(cols_loc, "mp")  # (mp, m, W)
+                mp_sz, m, w = gc.shape
+                cols = jnp.swapaxes(gc, 0, 1).reshape(m, mp_sz * w)
+                return None, (cols, jax.lax.pmax(bound, "mp"))
 
-        _, (cols, bound) = jax.lax.scan(body, None, a_chunks_r)
-        return cols.reshape(-1, cols.shape[-1]), bound.reshape(-1)
+            _, (cols, bound) = jax.lax.scan(body, None, a_chunks_r)
+            return cols.reshape(-1, cols.shape[-1]), bound.reshape(-1)
 
-    fn = jax.jit(shard_map(
-        scan_chunks,
-        mesh=mesh,
-        in_specs=(P(None, None, None), P("mp", None), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    ))
-    cols_rep, bound_rep = fn(a_chunks, b_hash, thr)
+        return jax.jit(shard_map(
+            scan_chunks,
+            mesh=mesh,
+            in_specs=(P(None, None, None), P("mp", None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
 
-    # Demonstration scope: no escalation driver under multi-controller yet.
-    # The drop bound makes the limitation LOUD instead of silent: a row
-    # whose truncated candidates could still qualify raises.
-    bound_h = np.asarray(bound_rep)[shard_row0 : shard_row0 + n_local]
-    if np.any(bound_h * 1.01 + 1e-4 >= max(min_similarity, 1e-9)):
-        raise NotImplementedError(
-            "multihost_match_shard dropped candidates that could qualify; "
-            "raise tile/cand_c (the adaptive escalation driver is not yet "
-            "wired for multi-controller)"
-        )
+    cols_rep, bound_rep = make_scan(cand_c)(a_chunks, b_hash, thr)
 
-    # Stage 6 onward is per-host: this process reads its OWN rows from the
-    # replicated candidate matrix and scores/selects them exactly.
-    cols_h = np.asarray(cols_rep)[shard_row0 : shard_row0 + n_local]
-    # Device row ids include per-device padding; map back to corpus rows.
-    dev_rows = cols_h  # ids in padded device space
-    dev_of = dev_rows // per_dev
-    within = dev_rows % per_dev
-    # per-process padded blocks were size n_pad_local with the process's
-    # rows first; translate padded device ids -> global corpus ids.
+    # Stage 6 onward is per-host: this process reads the rows it owns from
+    # the replicated candidate matrix and scores/selects them exactly.
     rows_per_proc = counts
     proc_starts = np.concatenate(([0], np.cumsum(rows_per_proc)[:-1]))
     dev_per_proc = n_dev // nproc
-    proc_of = dev_of // dev_per_proc
-    within_proc = (dev_of % dev_per_proc) * per_dev + within
-    corpus_col = proc_starts[proc_of] + within_proc
-    valid = (
-        (cols_h >= 0)
-        & (within_proc < rows_per_proc[np.minimum(proc_of, nproc - 1)])
+
+    def map_cols(cols_h):
+        """Padded-device-space column ids -> global corpus ids."""
+        dev_of = cols_h // per_dev
+        within = cols_h % per_dev
+        proc_of = dev_of // dev_per_proc
+        within_proc = (dev_of % dev_per_proc) * per_dev + within
+        corpus_col = proc_starts[np.minimum(proc_of, nproc - 1)] + within_proc
+        valid = (
+            (cols_h >= 0)
+            & (within_proc < rows_per_proc[np.minimum(proc_of, nproc - 1)])
+        )
+        return np.where(valid, corpus_col, -1)
+
+    def score_select(cols_h, row_ids_local):
+        """Exact rescore + per-row top-n for a set of OWNED rows.
+        ``row_ids_local`` are shard-local row indices of cols_h's rows."""
+        cols_mapped = map_cols(cols_h)
+        rows_pos, cols_f = _pairs_from_ship(cols_mapped, n_total)
+        rows_l = row_ids_local[rows_pos]
+        sims = rescore_pairs_fp64(
+            full_ell, full_ell, rows_l + shard_row0, cols_f
+        )
+        return _select_topn(
+            rows_l, cols_f, sims, n_local, min_similarity,
+            min(max_n_matches, n_total),
+        )
+
+    cols_all = np.asarray(cols_rep)
+    r_s, c_s, s_s, kept_q, row_cut = score_select(
+        cols_all[shard_row0 : shard_row0 + n_local],
+        np.arange(n_local, dtype=np.int64),
     )
-    cols_mapped = np.where(valid, corpus_col, -1)
-    rows_l, cols_f = _pairs_from_ship(cols_mapped, n_total)
-    rows_g = rows_l + shard_row0
-    sims = rescore_pairs_fp64(full_ell, full_ell, rows_g, cols_f)
-    # Local selection for the owned rows (global row ids).
-    r_s, c_s, s_s, _, _ = _select_topn(
-        rows_l, cols_f, sims, n_local, min_similarity,
-        min(max_n_matches, n_total),
+
+    # Escalation under multi-controller: each host detects ITS unsafe rows
+    # (drop bound could qualify and beat the exact top-n cut); the sets
+    # allgather so every process dispatches the IDENTICAL union re-match --
+    # collectives must match across processes -- at the provably-complete
+    # width (k_tile = tile extracts every qualified column per tile and
+    # cand_c = per-shard row count fits them all), so one round settles
+    # everything.  Each host then reads back only the rows it owns.
+    bound_h = np.asarray(bound_rep)[shard_row0 : shard_row0 + n_local]
+    adj = np.minimum(bound_h * 1.01 + 1e-4, 1.0)
+    max_n_eff = min(max_n_matches, n_total)
+    unsafe = (
+        (bound_h > -np.inf)
+        & (adj >= max(min_similarity, 0.0))
+        & ((kept_q < max_n_eff) | (adj >= np.minimum(row_cut, 1.0)))
     )
+    my_unsafe = np.flatnonzero(unsafe).astype(np.int64) + shard_row0
+    n_uns = _allgather_host(np.array([len(my_unsafe)], np.int64))
+    max_uns = int(n_uns.max())
+    if max_uns > 0:
+        pad = np.full(max_uns, -1, dtype=np.int64)
+        pad[: len(my_unsafe)] = my_unsafe
+        gathered = _allgather_host(pad).reshape(-1)
+        union = np.unique(gathered[gathered >= 0])
+        # Re-match the union rows at the complete width: all processes run
+        # the same program on the same rows.
+        m_p = -(-len(union) // chunk) * chunk
+        sel = np.zeros(m_p, dtype=np.int64)
+        sel[: len(union)] = union
+        a_sub = np.where(
+            (np.arange(m_p) < len(union))[:, None],
+            np.asarray(a_hash)[sel],
+            0,
+        )
+        esc_chunks = jnp.asarray(a_sub).reshape(-1, chunk, hash_dim)
+        cols_esc, bound_esc = make_scan(per_dev)(esc_chunks, b_hash, thr)
+        assert not np.isfinite(np.asarray(bound_esc)).any()
+        cols_esc = np.asarray(cols_esc)[: len(union)]
+        mine = (union >= shard_row0) & (union < shard_row0 + n_local)
+        if mine.any():
+            r2, c2, s2, kq2, rc2 = score_select(
+                cols_esc[mine], union[mine] - shard_row0
+            )
+            touched = np.zeros(n_local, dtype=bool)
+            touched[union[mine] - shard_row0] = True
+            keep = ~touched[r_s]
+            r_s = np.concatenate([r_s[keep], r2])
+            c_s = np.concatenate([c_s[keep], c2])
+            s_s = np.concatenate([s_s[keep], s2])
     return r_s + shard_row0, c_s, s_s

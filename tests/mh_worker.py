@@ -92,11 +92,26 @@ ref_pairs = {
     for r, c, s in zip(ref.rows, ref.cols, ref.sims)
     if lo <= r < hi
 }
-got_pairs = {(int(r), int(c)): s for r, c, s in zip(r_s, c_s, s_s)}
-assert set(got_pairs) == set(ref_pairs), (
-    f"p{proc_id}: {len(set(ref_pairs) - set(got_pairs))} missing "
-    f"{len(set(got_pairs) - set(ref_pairs))} extra"
-)
-for k in ref_pairs:
-    assert got_pairs[k] == ref_pairs[k], (k, got_pairs[k], ref_pairs[k])
+
+
+def check(r_a, c_a, s_a, label):
+    got = {(int(r), int(c)): s for r, c, s in zip(r_a, c_a, s_a)}
+    assert set(got) == set(ref_pairs), (
+        f"p{proc_id} {label}: {len(set(ref_pairs) - set(got))} missing "
+        f"{len(set(got) - set(ref_pairs))} extra"
+    )
+    for k in ref_pairs:
+        assert got[k] == ref_pairs[k], (label, k, got[k], ref_pairs[k])
+
+
+check(r_s, c_s, s_s, "wide")
 print(f"WORKER_OK {proc_id}", flush=True)
+
+# --- force the multi-controller union escalation: a tiny candidate width
+# truncates the dense rows' candidates, their drop bounds flag them, and
+# the allgathered union re-match must restore the exact result.
+r_e, c_e, s_e = multihost_match_shard(
+    local_ell, lo, n_total, MIN_SIM, MAX_N, hash_dim=128, tile=8, cand_c0=2
+)
+check(r_e, c_e, s_e, "escalated")
+print(f"WORKER_ESC_OK {proc_id}", flush=True)

@@ -55,3 +55,4 @@ def test_two_process_pipeline():
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
         assert f"WORKER_ENCODE_OK {i}" in out
         assert f"WORKER_OK {i}" in out
+        assert f"WORKER_ESC_OK {i}" in out

@@ -169,3 +169,41 @@ def test_fuzz_self_join_float32(seed):
     np.testing.assert_array_equal(
         [got_pairs[k] for k in ks], [expected[k] for k in ks]
     )
+
+
+# ------------------------------------------------------------------- mesh
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_mesh_self_join(seed):
+    """Randomized configs through the MESH matcher vs the brute-force
+    oracle (shape-invariance fuzz: random corpus structure, threshold,
+    top-n, and mesh shape must all produce the oracle's exact pairs)."""
+    from string_grouper_tpu.parallel import (
+        distributed_topn_cosine_matches,
+        make_mesh,
+    )
+
+    rng = np.random.default_rng(3000 + seed)
+    strings = planted_corpus(rng)
+    min_similarity = float(rng.choice([0.0, 0.3, 0.8]))
+    max_n = int(rng.choice([1, 3, 20]))
+    dp = int(rng.choice([1, 2, 4]))
+    mesh = make_mesh(8, dp=dp)
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+    got = distributed_topn_cosine_matches(
+        ell, None, min_similarity, max_n, mesh,
+        left_chunk=int(rng.choice([8, 32])),
+        right_tile=int(rng.choice([8, 16])),
+    )
+    expected = fuzz_oracle_pairs(ell, None, min_similarity, max_n, True)
+    got_pairs = {
+        (int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)
+    }
+    assert set(got_pairs) == set(expected), (
+        f"seed={seed} dp={dp}: {len(set(expected) - set(got_pairs))} missing,"
+        f" {len(set(got_pairs) - set(expected))} extra"
+    )
+    ks = sorted(expected)
+    np.testing.assert_allclose(
+        [got_pairs[k] for k in ks], [expected[k] for k in ks], rtol=1e-12
+    )

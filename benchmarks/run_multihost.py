@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""N>=2-host scaling measurement (BASELINE.json config #5's host axis).
+
+Runs the true two-process pipeline (tests/mh_worker.py: per-process corpus
+shards, gloo collectives) at growing corpus sizes and records per-stage
+walls to MULTIHOST_BENCH_<tag>.json.  CPU-device numbers -- the point is
+the measured N=2-process scaling shape of the DCN-form pipeline, not
+absolute throughput (the device program is the same one the TPU mesh
+runs).
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(ROOT, "tests", "mh_worker.py")
+
+
+def run_size(n, port):
+    env = dict(os.environ, MH_N=str(n), MH_TILE="64", MH_SKIP_ESC="1",
+               JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    t0 = time.perf_counter()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    wall = time.perf_counter() - t0
+    rec = {"n": n, "wall_total_s": round(wall, 2)}
+    for i, out in enumerate(outs):
+        assert procs[i].returncode == 0, out[-2000:]
+        m = re.search(r"TIME_ENCODE \d+ ([0-9.]+)", out)
+        rec[f"encode_p{i}_s"] = float(m.group(1))
+        m = re.search(r"TIME_MATCH \d+ ([0-9.]+) pairs (\d+)", out)
+        rec[f"match_p{i}_s"] = float(m.group(1))
+        rec[f"pairs_p{i}"] = int(m.group(2))
+    return rec
+
+
+def main():
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r03"
+    out = {"processes": 2, "devices_per_process": 2,
+           "backend": "cpu+gloo (same program shape as TPU ICI/DCN)",
+           "sizes": []}
+    for i, n in enumerate((1000, 4000, 10000)):
+        rec = run_size(n, 12410 + i)
+        out["sizes"].append(rec)
+        print(rec, file=sys.stderr, flush=True)
+        with open(os.path.join(ROOT, f"MULTIHOST_BENCH_{tag}.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

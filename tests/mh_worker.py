@@ -37,7 +37,8 @@ from string_grouper_tpu.parallel.multihost import (  # noqa: E402
 )
 
 
-def corpus(n=120, seed=5):
+def corpus(n=None, seed=5):
+    n = n or int(os.environ.get("MH_N", "120"))
     rng = np.random.default_rng(seed)
     stems = ["hyper", "mega", "quantum", "global", "acme", "stellar",
              "apex", "vertex", "summit", "cascade"]
@@ -54,6 +55,8 @@ def corpus(n=120, seed=5):
 
 MIN_SIM, MAX_N = 0.5, 5
 
+import time as _time
+
 full = corpus()
 n_total = len(full)
 per = -(-n_total // nproc)
@@ -63,7 +66,9 @@ shard = full[lo:hi]  # the ONLY strings this process feeds the pipeline
 config = StringGrouperConfig(min_similarity=MIN_SIM)
 
 # --- multi-host encode: shard-local tokenize, global vocab/DF agreements
+_t0 = _time.perf_counter()
 local_ell, idf, n_docs = multihost_encode_shard(shard, config)
+print(f"TIME_ENCODE {proc_id} {_time.perf_counter() - _t0:.3f}", flush=True)
 assert n_docs == n_total
 
 # verify the shard block bitwise against a single-process fit (oracle only)
@@ -80,9 +85,13 @@ np.testing.assert_array_equal(lp.vals64, op.vals64[lo:hi])
 print(f"WORKER_ENCODE_OK {proc_id}", flush=True)
 
 # --- multi-host match: this process gets exact top-n for ITS rows only
+_t0 = _time.perf_counter()
 r_s, c_s, s_s = multihost_match_shard(
-    local_ell, lo, n_total, MIN_SIM, MAX_N, hash_dim=128, tile=8
+    local_ell, lo, n_total, MIN_SIM, MAX_N,
+    hash_dim=128, tile=int(os.environ.get("MH_TILE", "8")),
 )
+print(f"TIME_MATCH {proc_id} {_time.perf_counter() - _t0:.3f} "
+      f"pairs {len(r_s)}", flush=True)
 
 ref = topn_cosine_matches(
     oracle_ell, None, MIN_SIM, MAX_N, force_symmetries=False, hash_dim=128
@@ -110,6 +119,9 @@ print(f"WORKER_OK {proc_id}", flush=True)
 # --- force the multi-controller union escalation: a tiny candidate width
 # truncates the dense rows' candidates, their drop bounds flag them, and
 # the allgathered union re-match must restore the exact result.
+if os.environ.get("MH_SKIP_ESC"):
+    print(f"WORKER_ESC_OK {proc_id} (skipped)", flush=True)
+    sys.exit(0)
 r_e, c_e, s_e = multihost_match_shard(
     local_ell, lo, n_total, MIN_SIM, MAX_N, hash_dim=128, tile=8, cand_c0=2
 )

@@ -41,7 +41,6 @@ from jax import shard_map
 from ..config import StringGrouperConfig
 from ..corpus.tfidf import EllMatrix, _ell_from_unique_pairs
 from ..ops.matcher import (
-    _next_pow2,
     _pairs_from_ship,
     _select_topn,
     build_hash_matrix,

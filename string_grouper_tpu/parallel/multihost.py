@@ -103,29 +103,51 @@ def multihost_encode_shard(
         keys, row_ids, n_rows, _ = extract_packed_keys(
             corpus, config.ngram_size, bits0
         )
+        key_dtype = np.dtype(np.uint64)
     else:
+        # Byte-key fallback: n-grams wider than 64 bits travel as opaque
+        # big-endian fixed-width byte keys (void dtype), whose byte-wise
+        # comparison order equals sklearn's sorted-vocabulary order.  The
+        # global maxcp agreement above guarantees every process takes the
+        # SAME branch (bits0 is a function of the global max codepoint).
         win = extract_windows(corpus, config.ngram_size)
         keys, row_ids, n_rows = (
             windows_as_sortable_keys(win.windows), win.row_ids, win.n_rows
         )
-    if bits0 is None:
-        raise NotImplementedError(
-            "multi-host demo covers the packed-key (<= 64-bit n-gram) path"
-        )
+        key_dtype = np.dtype((np.void, 4 * config.ngram_size))
 
     # 2. Vocabulary union: per-shard sorted unique key sets, padded to the
-    # global max length for the allgather (sentinel ~0 dropped after).
-    local_vocab = np.unique(keys) if len(keys) else np.zeros(0, np.uint64)
-    n_loc = np.array([len(local_vocab)], dtype=np.int64)
-    max_loc = int(_allgather_host(n_loc).max())
+    # global max length for the allgather.  Keys ride as raw bytes so one
+    # path serves uint64 packed keys and void byte keys, and each shard's
+    # gathered block is sliced by its exact count -- no sentinel value, so
+    # no key pattern is ever reserved (an all-0xFF packed key is real: an
+    # 8-gram of codepoint 255 at 8 bits/codepoint).
+    local_vocab = (
+        np.unique(keys) if len(keys) else np.zeros(0, dtype=key_dtype)
+    )
+    itemsize = key_dtype.itemsize
+    counts_v = _allgather_host(
+        np.array([len(local_vocab)], dtype=np.int64)
+    ).reshape(-1)
+    max_loc = int(counts_v.max())
     if max_loc == 0:
         raise ValueError(_EMPTY_VOCAB_MSG)
-    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
-    padded = np.full(max_loc, sentinel, dtype=np.uint64)
-    padded[: len(local_vocab)] = local_vocab
-    gathered = _allgather_host(padded).reshape(-1)
-    vocab = np.unique(gathered)
-    vocab = vocab[vocab != sentinel]
+    padded = np.zeros((max_loc, itemsize), dtype=np.uint8)
+    if len(local_vocab):
+        padded[: len(local_vocab)] = (
+            np.ascontiguousarray(local_vocab)
+            .view(np.uint8)
+            .reshape(len(local_vocab), itemsize)
+        )
+    g = _allgather_host(padded)  # (nproc, max_loc, itemsize)
+    gathered_keys = (
+        np.ascontiguousarray(
+            np.concatenate([g[p, : counts_v[p]] for p in range(g.shape[0])])
+        )
+        .view(key_dtype)
+        .reshape(-1)
+    )
+    vocab = np.unique(gathered_keys)
     n_terms = len(vocab)
 
     # 3. Document frequency: per-shard partial -> device psum across every

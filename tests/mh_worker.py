@@ -63,7 +63,13 @@ per = -(-n_total // nproc)
 lo, hi = proc_id * per, min((proc_id + 1) * per, n_total)
 shard = full[lo:hi]  # the ONLY strings this process feeds the pipeline
 
-config = StringGrouperConfig(min_similarity=MIN_SIM)
+# MH_NGRAM=9 forces the byte-key vocabulary path (8 bits x 9 > 64, so
+# packed uint64 keys don't fit and the void-key fallback must agree
+# globally) -- same assertions, different key representation.
+config = StringGrouperConfig(
+    min_similarity=MIN_SIM,
+    ngram_size=int(os.environ.get("MH_NGRAM", "3")),
+)
 
 # --- multi-host encode: shard-local tokenize, global vocab/DF agreements
 _t0 = _time.perf_counter()

@@ -34,11 +34,9 @@ def _gloo_available() -> bool:
         return False
 
 
-@pytest.mark.skipif(not _gloo_available(), reason="no gloo collectives")
-def test_two_process_pipeline():
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+def _run_pair(port, extra_env=None):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", **(extra_env or {}))
     env.pop("XLA_FLAGS", None)
-    port = "12399"
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(i), "2", port],
@@ -56,3 +54,16 @@ def test_two_process_pipeline():
         assert f"WORKER_ENCODE_OK {i}" in out
         assert f"WORKER_OK {i}" in out
         assert f"WORKER_ESC_OK {i}" in out
+
+
+@pytest.mark.skipif(not _gloo_available(), reason="no gloo collectives")
+def test_two_process_pipeline():
+    _run_pair("12399")
+
+
+@pytest.mark.skipif(not _gloo_available(), reason="no gloo collectives")
+def test_two_process_pipeline_byte_keys():
+    # 9-grams over ASCII need 72 bits: the vocabulary union must take the
+    # void byte-key path on every process (and still match the
+    # single-process fit bitwise).
+    _run_pair("12419", {"MH_NGRAM": "9", "MH_SKIP_ESC": "1"})

@@ -50,9 +50,10 @@ GROUP_REP_PREFIX: str = "group_rep_"
 # cost ~+0.5 s rescore and ~+1.1 s escalation, less than the matmul saving).
 # Results are exact for any value.
 DEFAULT_HASH_DIM: int = 512
-# Legacy knob (earlier designs shipped a slack margin of candidates); the
-# current matcher's adaptive driver is always complete, so this is a no-op
-# kept for API stability.
+# DEPRECATED legacy knob (earlier designs shipped a slack margin of
+# candidates); the current matcher's adaptive driver is always complete, so
+# this is a no-op kept for API stability.  Explicit use warns (engine.py
+# _warn_legacy_kwargs); scheduled for removal.
 DEFAULT_TOPN_SLACK: int = 8
 # Rows per left-side chunk streamed through the phase-1 filter.
 DEFAULT_LEFT_CHUNK: int = 4096
@@ -73,8 +74,11 @@ class StringGrouperConfig(NamedTuple):
         extraction.  Default ``'[,-./]|\s'``.
     :param max_n_matches: maximum number of matches kept per master string.
     :param min_similarity: minimum cosine similarity of a reported match.
-    :param number_of_processes: accepted for API compatibility; on TPU the
-        kernel parallelism is intrinsic, so this knob is a no-op.
+    :param number_of_processes: caps the OpenMP thread count of the native
+        host kernels (exact rescore, selection, fix-ups) -- the same
+        resource knob the reference routes to sp_matmul_topn's n_threads
+        (reference string_grouper.py:22, :731).  Device parallelism is
+        unaffected (TPU kernel parallelism is intrinsic).
     :param ignore_case: lowercase strings before matching.
     :param ignore_index: exclude index columns from outputs.
     :param include_zeroes: when min_similarity <= 0, include zero-similarity
@@ -91,8 +95,9 @@ class StringGrouperConfig(NamedTuple):
     TPU-specific options:
 
     :param hash_dim: feature-hash width of the phase-1 filter matmul.
-    :param topn_slack: legacy no-op knob (the adaptive matcher is always
-        complete); accepted for API stability.
+    :param topn_slack: DEPRECATED no-op knob (the adaptive matcher is always
+        complete); explicit use emits a DeprecationWarning and the option
+        will be removed in a future release.
     :param left_chunk: left-side rows per streamed device chunk.
     :param right_tile: right-side rows per phase-1 scan tile.
     :param mesh: optional ``jax.sharding.Mesh`` with axes ('dp', 'mp') (see

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import logging
 import re
+import warnings
 from typing import List, Optional, Union
 from unicodedata import normalize as _unicode_normalize
 
@@ -44,6 +45,22 @@ from .validation import (
 logger = logging.getLogger("string_grouper_tpu")
 
 __all__ = ["StringGrouper", "StringGrouperNotFitException"]
+
+
+def _warn_legacy_kwargs(kwargs: dict) -> None:
+    """Deprecation warnings for knobs that are accepted but inert.
+
+    ``topn_slack`` shaped an earlier matcher design whose selection could be
+    incomplete; the adaptive driver is provably complete, so the knob does
+    nothing.  Warn on EXPLICIT use only (the config default never warns)."""
+    if "topn_slack" in kwargs:
+        warnings.warn(
+            "topn_slack is deprecated and has no effect: the adaptive "
+            "matcher's selection is always complete. The option will be "
+            "removed in a future release.",
+            DeprecationWarning,
+            stacklevel=3,
+        )
 
 
 def _empty_matches_list() -> pd.DataFrame:
@@ -83,6 +100,7 @@ class StringGrouper:
 
         # Unknown kwargs raise here, before data validation (reference
         # constructor order, string_grouper.py:260-267).
+        _warn_legacy_kwargs(kwargs)
         self._config: StringGrouperConfig = StringGrouperConfig(**kwargs)
         self._n_blocks = self._config.n_blocks
         #: per-phase wall times of the most recent fit (profiling hook; the
@@ -141,6 +159,7 @@ class StringGrouper:
     def update_options(self, **kwargs):
         """Merge new options into the current config
         (reference string_grouper.py:335-343)."""
+        _warn_legacy_kwargs(kwargs)
         _ = StringGrouperConfig(**kwargs)
         old_kwargs = self._config._asdict()
         old_kwargs.update(kwargs)
@@ -180,6 +199,12 @@ class StringGrouper:
     # ------------------------------------------------------------------- fit
     def fit(self) -> "StringGrouper":
         """Build the matches list (reference fit(), string_grouper.py:380-431)."""
+        from .native import set_native_threads
+
+        # number_of_processes caps the native kernels' OpenMP threads --
+        # the reference routes the same knob to sp_matmul_topn's n_threads
+        # (reference string_grouper.py:22, :731).
+        set_native_threads(self._config.number_of_processes)
         self.timings.reset()
         is_self = self._duplicates is None
         with self.timings.phase("encode"):
@@ -299,11 +324,27 @@ class StringGrouper:
     def dot(self) -> pd.Series:
         """Row-wise similarity of master vs duplicates
         (reference string_grouper.py:433-440)."""
+        from .native import set_native_threads
+
+        set_native_threads(self._config.number_of_processes)
         if len(self._master) != len(self._duplicates):
             raise Exception("To perform this function, both input Series must have the same length.")
-        master_ell, dupes_ell = self._encoder.fit_transform_pair(
-            self._master, self._duplicates
-        )
+        if self._config.mesh is not None:
+            # Sharded encode (DF psum over the mesh) -- the mesh form of the
+            # reference's dot() path (string_grouper.py:433-440); bitwise
+            # identical to the host encoder (tests/test_distributed.py).
+            from .parallel import sharded_fit_transform
+
+            master_ell, dupes_ell = sharded_fit_transform(
+                self._encoder,
+                list(self._master),
+                list(self._duplicates),
+                self._config.mesh,
+            )
+        else:
+            master_ell, dupes_ell = self._encoder.fit_transform_pair(
+                self._master, self._duplicates
+            )
         from .ops.rescore import row_dot_fp64
 
         sims = row_dot_fp64(

@@ -159,5 +159,18 @@ def get_scorer_lib() -> Optional[ctypes.CDLL]:
     lib.fill_code_rows6.argtypes = [p_u8, p_i64, p_i32, i64, i64, p_u32]
     lib.gather_rows_u8.restype = None
     lib.gather_rows_u8.argtypes = [p_u8, p_i64, p_i64, i64, p_i64, p_u8]
+    lib.set_num_threads.restype = None
+    lib.set_num_threads.argtypes = [i64]
+    lib.get_max_threads.restype = i64
+    lib.get_max_threads.argtypes = []
     _lib = lib
     return _lib
+
+
+def set_native_threads(n: int) -> None:
+    """Cap the OpenMP thread count of every native kernel -- the plumbing
+    behind the reference's ``number_of_processes`` option (reference
+    string_grouper.py:22, :731 routes it to sp_matmul_topn's n_threads)."""
+    lib = get_scorer_lib()
+    if lib is not None and n and n > 0:
+        lib.set_num_threads(int(n))

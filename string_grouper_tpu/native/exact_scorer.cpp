@@ -19,6 +19,8 @@
 #include <limits>
 #include <vector>
 
+#include <omp.h>
+
 namespace {
 
 // Round-to-nearest-even float32 -> bfloat16 (bit pattern).
@@ -355,6 +357,16 @@ int64_t selfjoin_fixups_f64(
     }
     return w;
 }
+
+// Thread-count plumbing for the reference's ``number_of_processes`` knob
+// (reference string_grouper.py:22, :731 routes it to sp_matmul_topn's
+// n_threads): every OpenMP-parallel kernel in this library honors the
+// current omp thread limit set here.
+void set_num_threads(int64_t n) {
+    if (n > 0) omp_set_num_threads(static_cast<int>(n));
+}
+
+int64_t get_max_threads() { return omp_get_max_threads(); }
 
 }  // extern "C"
 

@@ -114,14 +114,24 @@ def multihost_encode_shard(
         keys, row_ids, n_rows = (
             windows_as_sortable_keys(win.windows), win.row_ids, win.n_rows
         )
-        key_dtype = np.dtype((np.void, 4 * config.ngram_size))
+        # Derive the wire dtype from the data: if the key layout inside
+        # windows_as_sortable_keys ever changed width, a hardcoded itemsize
+        # would silently reinterpret the allgathered bytes.
+        key_dtype = keys.dtype if len(keys) else np.dtype(
+            (np.void, 4 * config.ngram_size)
+        )
+        assert key_dtype.itemsize == 4 * config.ngram_size, key_dtype
 
     # 2. Vocabulary union: per-shard sorted unique key sets, padded to the
     # global max length for the allgather.  Keys ride as raw bytes so one
     # path serves uint64 packed keys and void byte keys, and each shard's
     # gathered block is sliced by its exact count -- no sentinel value, so
     # no key pattern is ever reserved (an all-0xFF packed key is real: an
-    # 8-gram of codepoint 255 at 8 bits/codepoint).
+    # 8-gram of codepoint 255 at 8 bits/codepoint).  Traffic: the pad-to-max
+    # gather ships max_loc * itemsize * nproc bytes, so heavily skewed
+    # shards transfer mostly zero padding; at pod scale a ragged exchange
+    # (allgather counts, then per-shard variable-size sends) would shave
+    # that, but vocabularies are ~1e5 keys -- megabytes, not gigabytes.
     local_vocab = (
         np.unique(keys) if len(keys) else np.zeros(0, dtype=key_dtype)
     )

@@ -178,6 +178,21 @@ class TestEngineMesh:
         gb = sgt.group_similar_strings(series, min_similarity=0.6, mesh=mesh)
         pd.testing.assert_frame_equal(ga, gb)
 
+    @pytest.mark.parametrize("dp,mp", [(2, 4), (8, 1)])
+    def test_dot_with_mesh_equals_single_chip(self, dp, mp):
+        """``compute_pairwise_similarities`` under ``mesh=`` routes through
+        the sharded encoder (reference dot(), string_grouper.py:433-440);
+        output must be bitwise equal to the host-encoder path."""
+        import string_grouper_tpu as sgt
+
+        s1 = _synthetic_names(60, seed=21)
+        s2 = _synthetic_names(60, seed=22)
+        a = sgt.compute_pairwise_similarities(s1, s2)
+        b = sgt.compute_pairwise_similarities(
+            s1, s2, mesh=make_mesh(dp * mp, dp=dp)
+        )
+        pd.testing.assert_series_equal(a, b)
+
 
 class TestShardedEncode:
     @pytest.mark.parametrize("dp,mp", [(1, 8), (2, 4), (8, 1)])

@@ -123,6 +123,42 @@ class TestConfig:
         assert config.max_n_matches == 100
         assert config.number_of_processes == 1
 
+    def test_topn_slack_deprecation_warning(self):
+        """Explicit use of the legacy no-op knob warns; defaults don't."""
+        import warnings
+
+        s = pd.Series(["foo", "bar"])
+        with pytest.warns(DeprecationWarning, match="topn_slack"):
+            StringGrouper(s, topn_slack=4)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            StringGrouper(s)  # no warning without the kwarg
+        sg = StringGrouper(s)
+        with pytest.warns(DeprecationWarning, match="topn_slack"):
+            sg.update_options(topn_slack=2)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            sg.update_options(min_similarity=0.5)
+
+    def test_number_of_processes_caps_native_threads(self):
+        """The knob is plumbed to the native kernels' OpenMP thread count
+        (reference routes it to sp_matmul_topn's n_threads,
+        string_grouper.py:22, :731)."""
+        from string_grouper_tpu.native import get_scorer_lib
+
+        lib = get_scorer_lib()
+        if lib is None:
+            pytest.skip("native library unavailable")
+        before = int(lib.get_max_threads())
+        try:
+            s = pd.Series(["foo", "food", "bar"])
+            StringGrouper(s, number_of_processes=1).fit()
+            assert int(lib.get_max_threads()) == 1
+            StringGrouper(s, number_of_processes=2).fit()
+            assert int(lib.get_max_threads()) == 2
+        finally:
+            lib.set_num_threads(before)
+
 
 class TestNgrams:
     def test_n_grams_case_unchanged(self):

@@ -65,5 +65,7 @@ def test_two_process_pipeline():
 def test_two_process_pipeline_byte_keys():
     # 9-grams over ASCII need 72 bits: the vocabulary union must take the
     # void byte-key path on every process (and still match the
-    # single-process fit bitwise).
-    _run_pair("12419", {"MH_NGRAM": "9", "MH_SKIP_ESC": "1"})
+    # single-process fit bitwise).  Escalation runs too (smaller corpus
+    # keeps the forced cand_c0=2 re-match cheap) so the union re-match is
+    # exercised under the byte-key vocabulary representation as well.
+    _run_pair("12419", {"MH_NGRAM": "9", "MH_N": "60"})

@@ -103,6 +103,14 @@ class StringGrouperConfig(NamedTuple):
     :param mesh: optional ``jax.sharding.Mesh`` with axes ('dp', 'mp') (see
         :func:`string_grouper_tpu.parallel.make_mesh`); when set, matching
         runs sharded across the mesh devices.
+    :param multihost: multi-controller (multi-host) execution tier
+        (parallel/multihost.py).  ``None`` (default) auto-enables when the
+        process is part of a ``jax.distributed`` multi-controller job
+        (``jax.process_count() > 1``); True/False force it.  Under the tier
+        every process calls the same API with the same full inputs (SPMD);
+        encode and matching shard across processes internally and every
+        process returns the identical full output.  Composes with ``mesh``
+        (the per-process matcher then runs sharded over its local devices).
     """
 
     ngram_size: int = DEFAULT_NGRAM_SIZE
@@ -124,3 +132,4 @@ class StringGrouperConfig(NamedTuple):
     left_chunk: int = DEFAULT_LEFT_CHUNK
     right_tile: int = DEFAULT_RIGHT_TILE
     mesh: Optional[object] = None
+    multihost: Optional[bool] = None

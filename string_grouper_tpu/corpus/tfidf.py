@@ -227,6 +227,40 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def device_tables_from_vocab(
+    vocab_keys: np.ndarray, idf: np.ndarray, ngram: int
+):
+    """(code_lut, table_id, idf32, base) for DeviceEncodeSrc, derived from
+    an 8-bit-packed sorted vocabulary: bytes appearing in vocabulary keys
+    get compact codes 1..base-1 (0 = pad / byte unseen at fit time), and
+    the direct-address table maps each vocabulary n-gram's base-`base`
+    compact key to its term id.  Any window touching a 0 code has a zero
+    base-`base` digit, so it can never alias a vocabulary key (whose digits
+    are all >= 1) -- it reads -1 (OOV) from the table.  Pure function of
+    (vocab, idf, ngram): every multi-host process derives IDENTICAL tables
+    from the agreed global vocabulary (parallel/multihost.py)."""
+    ks = vocab_keys.astype(np.uint64)
+    cols = [
+        ((ks >> np.uint64(8 * (ngram - 1 - j))) & np.uint64(0xFF)).astype(
+            np.int64
+        )
+        for j in range(ngram)
+    ]
+    present = np.zeros(256, dtype=bool)
+    for c in cols:
+        present[c] = True
+    code_lut = np.zeros(256, dtype=np.uint8)
+    code_lut[present] = np.arange(1, int(present.sum()) + 1, dtype=np.uint8)
+    base = int(present.sum()) + 1
+    key = np.zeros(len(ks), dtype=np.int64)
+    for c in cols:
+        key = key * base + code_lut[c].astype(np.int64)
+    table = np.full(base**ngram, -1, dtype=np.int32)
+    table[key] = np.arange(len(ks), dtype=np.int32)
+    idf32 = np.ascontiguousarray(idf, dtype=np.float32)
+    return code_lut, table, idf32, base
+
+
 _EMPTY_VOCAB_MSG = (
     "empty vocabulary; perhaps the documents only contain stop "
     "characters or are shorter than the n-gram size"
@@ -517,36 +551,10 @@ class TfidfEncoder:
         )
 
     def _device_tables(self):
-        """(code_lut, table_id, idf32, base) for DeviceEncodeSrc, derived
-        from the fitted vocabulary: bytes appearing in vocabulary keys get
-        compact codes 1..base-1 (0 = pad / byte unseen at fit time), and
-        the direct-address table maps each vocabulary n-gram's base-`base`
-        compact key to its term id.  Any window touching a 0 code has a
-        zero base-`base` digit, so it can never alias a vocabulary key
-        (whose digits are all >= 1) -- it reads -1 (OOV) from the table."""
-        if self._dev_tables is not None:
-            return self._dev_tables
-        n = self.config.ngram_size
-        ks = self.vocab_keys_.astype(np.uint64)
-        cols = [
-            ((ks >> np.uint64(8 * (n - 1 - j))) & np.uint64(0xFF)).astype(
-                np.int64
+        if self._dev_tables is None:
+            self._dev_tables = device_tables_from_vocab(
+                self.vocab_keys_, self.idf_, self.config.ngram_size
             )
-            for j in range(n)
-        ]
-        present = np.zeros(256, dtype=bool)
-        for c in cols:
-            present[c] = True
-        code_lut = np.zeros(256, dtype=np.uint8)
-        code_lut[present] = np.arange(1, int(present.sum()) + 1, dtype=np.uint8)
-        base = int(present.sum()) + 1
-        key = np.zeros(len(ks), dtype=np.int64)
-        for c in cols:
-            key = key * base + code_lut[c].astype(np.int64)
-        table = np.full(base**n, -1, dtype=np.int32)
-        table[key] = np.arange(len(ks), dtype=np.int32)
-        idf32 = np.ascontiguousarray(self.idf_, dtype=np.float32)
-        self._dev_tables = (code_lut, table, idf32, base)
         return self._dev_tables
 
     def _device_payload(self, lib, n_rows: int) -> Optional[DeviceEncodeSrc]:

@@ -206,6 +206,8 @@ class StringGrouper:
         # (reference string_grouper.py:22, :731).
         set_native_threads(self._config.number_of_processes)
         self.timings.reset()
+        if self._use_multihost():
+            return self._fit_multihost()
         is_self = self._duplicates is None
         with self.timings.phase("encode"):
             if self._config.mesh is not None:
@@ -316,6 +318,46 @@ class StringGrouper:
                     "master_side": pairs.rows.astype(np.int64),
                     "dupe_side": pairs.cols.astype(np.int64),
                     "similarity": pairs.sims.astype(self._config.tfidf_matrix_dtype),
+                }
+            )
+        self.is_build = True
+        return self
+
+    def _use_multihost(self) -> bool:
+        """Multi-controller tier selection: explicit config wins; ``None``
+        auto-enables inside a ``jax.distributed`` multi-controller job."""
+        if self._config.multihost is not None:
+            return bool(self._config.multihost)
+        try:
+            import jax
+
+            return jax.process_count() > 1
+        except Exception:
+            return False
+
+    def _fit_multihost(self) -> "StringGrouper":
+        """Multi-controller fit (parallel/multihost.py): every process calls
+        fit() with the same full Series; encode and matching shard across
+        processes; the gathered matches list (and hence every get_* output)
+        is identical on all processes and bitwise-equal to a single-process
+        fit."""
+        from .parallel.multihost import multihost_fit_pairs
+
+        with self.timings.phase("match"):
+            pairs, stages = multihost_fit_pairs(
+                self._master, self._duplicates, self._config
+            )
+        for k, v in stages.items():
+            self.timings.seconds[f"match.mh_{k}"] = v
+        self._true_max_n_matches = pairs.true_max_n_matches
+        with self.timings.phase("assemble"):
+            self._matches_list = pd.DataFrame(
+                {
+                    "master_side": pairs.rows.astype(np.int64),
+                    "dupe_side": pairs.cols.astype(np.int64),
+                    "similarity": pairs.sims.astype(
+                        self._config.tfidf_matrix_dtype
+                    ),
                 }
             )
         self.is_build = True

@@ -30,27 +30,43 @@ owns.
 
 from __future__ import annotations
 
+import os
+import time
+from dataclasses import replace
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pandas as pd
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import StringGrouperConfig
-from ..corpus.tfidf import EllMatrix, _ell_from_unique_pairs
+from ..corpus.tfidf import (
+    DeviceEncodeSrc,
+    EllMatrix,
+    _ell_from_unique_pairs,
+    device_tables_from_vocab,
+)
 from ..ops.matcher import (
+    MatchPairs,
     _pairs_from_ship,
     _select_topn,
+    apply_self_join_fixups,
     build_hash_matrix,
     effective_threshold,
     initial_cand_c,
     match_block,
+    topn_cosine_matches,
 )
 from ..ops.rescore import rescore_pairs_fp64
 
-__all__ = ["multihost_encode_shard", "multihost_match_shard"]
+__all__ = [
+    "multihost_encode_shard",
+    "multihost_match_shard",
+    "multihost_fit_pairs",
+]
 
 
 def _allgather_host(x: np.ndarray):
@@ -184,7 +200,60 @@ def multihost_encode_shard(
     ell = _ell_from_unique_pairs(
         rows, terms, w * inv[rows], n_rows, n_terms, width=width
     )
+
+    # Byte-level device-encode payload (the wire-minimal upload pillar of
+    # the single-chip path, ops/matcher.py _build_hash_from_codes): eligible
+    # exactly when the vocabulary packed at 8 bits/codepoint (post-clean
+    # ASCII) -- a GLOBAL property (bits0 comes from the global max
+    # codepoint), so every process takes the same branch.  The tables are a
+    # pure function of the agreed vocabulary, hence identical everywhere.
+    if bits0 == 8 and os.environ.get("SG_TPU_DEVICE_ENCODE", "1") != "0":
+        code_lut, table, idf32, base = device_tables_from_vocab(
+            vocab.astype(np.uint64), idf, config.ngram_size
+        )
+        coff = corpus.offsets.astype(np.int64)
+        src = DeviceEncodeSrc(
+            flat_codes=code_lut[corpus.buf.astype(np.int64)],
+            coff=coff,
+            inv_norm=inv.astype(np.float32),
+            table_id=table,
+            idf32=idf32,
+            base=base,
+            ngram=config.ngram_size,
+            row_hash=_poly_row_hash(corpus.buf, coff),
+        )
+        ell = replace(ell, device_src=src)
     return ell, idf, n_docs
+
+
+def _poly_row_hash(buf: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit polynomial hash of each row's cleaned codepoints.
+
+    Feeds the clean-equality duplicate collapse (ops/matcher.py
+    ``_clean_refined_codes``) exactly like the native encoder's FNV-1a row
+    hashes: groups are keyed by (hash, length) and byte-VERIFIED before
+    use, so any well-mixing per-row hash is valid -- it only needs to be
+    consistent within one payload."""
+    n = len(offsets) - 1
+    h = np.zeros(n, dtype=np.uint64)
+    if len(buf) == 0 or n == 0:
+        return h
+    lens = np.diff(offsets)
+    r = np.uint64(0x100000001B3)
+    max_len = int(lens.max())
+    pows = np.empty(max_len, dtype=np.uint64)
+    pos = np.arange(len(buf), dtype=np.int64) - np.repeat(offsets[:-1], lens)
+    with np.errstate(over="ignore"):
+        pows[0] = np.uint64(1)
+        for i in range(1, max_len):
+            pows[i] = pows[i - 1] * r
+        w = (buf.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) * pows[pos]
+        nz = lens > 0
+        # Nonzero rows' content tiles ``w`` exactly (empty rows contribute
+        # no elements between them), so reduceat over their starts is the
+        # per-row segment sum.
+        h[nz] = np.add.reduceat(w, offsets[:-1][nz])
+    return h
 
 
 def multihost_match_shard(
@@ -384,3 +453,251 @@ def multihost_match_shard(
             c_s = np.concatenate([c_s[keep], c2])
             s_s = np.concatenate([s_s[keep], s2])
     return r_s + shard_row0, c_s, s_s
+
+
+# ===========================================================================
+# Production tier: the engine-integrated multi-controller pipeline.
+#
+# SPMD contract: every process calls the SAME engine API with the SAME full
+# input Series (the standard multi-controller jax programming model -- same
+# program, same args on every host).  Internally the work shards:
+#
+#   encode  -- each process tokenizes only ITS contiguous shard of the
+#              virtual concat(master, duplicates); vocabulary / DF / widths
+#              agree via host collectives (multihost_encode_shard).
+#   gather  -- exact ELL blocks + byte payload allgather once (the same
+#              one-bulk-pass trade as multihost_match_shard stage 5), so
+#              phase 2 scoring stays host-local afterwards.
+#   match   -- each process runs the FULL single-controller matcher
+#              (ops/matcher.py, or parallel/distributed.py when config.mesh
+#              covers its local devices) on ITS contiguous slice of left
+#              rows x the whole right side: duplicate collapse, byte-payload
+#              device encode, streamed segments, kt-bucketed per-row
+#              escalation, production widths -- every single-chip pillar --
+#              with NO cross-process traffic in the hot loop (per-row top-n
+#              is row-local, so left sharding is exact by construction;
+#              candidate merges ride ICI inside a host, never DCN).
+#   reduce  -- per-shard pair lists allgather (one packed f64 collective);
+#              self-join fix-ups / reference ordering apply to the global
+#              list identically on every process, so get_matches/get_groups
+#              return the SAME full DataFrame everywhere.
+#
+# ``get_groups`` therefore runs on the gathered global matches list (the
+# documented gather-to-controller form of distributed grouping: the output
+# DataFrame is corpus-sized and per-process anyway, so the pair list must
+# be global before assembly; the native union-find labels 9M edges in
+# ~0.1 s -- see MULTIHOST_BENCH_r04.json for the measured gather + CC cost).
+# ===========================================================================
+
+
+def _allgather_ragged(x: np.ndarray) -> list:
+    """Allgather arrays whose LEADING dimension differs per process (equal
+    trailing dims/dtype): pad to the global max, gather, slice back.
+    Returns the per-process list."""
+    counts = _allgather_host(
+        np.array([x.shape[0]], dtype=np.int64)
+    ).reshape(-1)
+    mx = int(counts.max())
+    if mx == 0:
+        return [x[:0] for _ in range(len(counts))]
+    padded = np.zeros((mx,) + x.shape[1:], dtype=x.dtype)
+    padded[: x.shape[0]] = x
+    g = _allgather_host(padded)
+    return [g[p, : counts[p]] for p in range(len(counts))]
+
+
+def _slice_ell(ell: EllMatrix, lo: int, hi: int) -> EllMatrix:
+    src = ell.device_src
+    return EllMatrix(
+        ids=ell.ids[lo:hi],
+        vals64=ell.vals64[lo:hi],
+        n_terms=ell.n_terms,
+        device_src=src.slice_rows(lo, hi) if src is not None else None,
+    )
+
+
+def _allgather_full_ell(local_ell: EllMatrix) -> EllMatrix:
+    """One bulk allgather of the exact shard blocks (+ byte payload when
+    present) -> the full corpus ELL, identical on every process.  Widths
+    were agreed at encode time, so the blocks concatenate directly."""
+    local_ell.wait_ready()
+    ids_parts = _allgather_ragged(local_ell.ids)
+    vals_parts = _allgather_ragged(local_ell.vals64)
+    full = EllMatrix(
+        ids=np.concatenate(ids_parts),
+        vals64=np.concatenate(vals_parts),
+        n_terms=local_ell.n_terms,
+    )
+    src = local_ell.device_src
+    # Payload eligibility is a global property (see multihost_encode_shard),
+    # so either every process has one or none does.
+    if src is None:
+        return full
+    codes_parts = _allgather_ragged(src.flat_codes)
+    lens_parts = _allgather_ragged(np.diff(src.coff))
+    inv_parts = _allgather_ragged(src.inv_norm)
+    hash_parts = _allgather_ragged(src.row_hash)
+    lens = np.concatenate(lens_parts)
+    coff = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    full_src = DeviceEncodeSrc(
+        flat_codes=np.concatenate(codes_parts),
+        coff=coff,
+        inv_norm=np.concatenate(inv_parts),
+        table_id=src.table_id,
+        idf32=src.idf32,
+        base=src.base,
+        ngram=src.ngram,
+        row_hash=np.concatenate(hash_parts),
+    )
+    return replace(full, device_src=full_src)
+
+
+def _empty_pairs() -> MatchPairs:
+    return MatchPairs(
+        rows=np.zeros(0, dtype=np.int64),
+        cols=np.zeros(0, dtype=np.int64),
+        sims=np.zeros(0, dtype=np.float64),
+        true_max_n_matches=0,
+    )
+
+
+def _dup_codes(series_slice, ell_slice: EllMatrix):
+    """Engine-equivalent duplicate coding for the collapse layer: the byte
+    payload's clean-equality hashes when present (the matcher derives the
+    coding itself), raw factorize otherwise."""
+    src = ell_slice.device_src
+    if src is not None and src.row_hash is not None:
+        return None
+    return pd.factorize(pd.Series(series_slice))[0]
+
+
+def multihost_fit_pairs(
+    master, duplicates, config: StringGrouperConfig
+) -> Tuple[MatchPairs, dict]:
+    """The engine's multi-controller fit: returns the FULL reference-
+    equivalent matches list (identical on every process) plus per-stage
+    wall times.  See the tier overview above; every process must call this
+    with the same full input Series (SPMD).
+
+    Covers the whole reference API surface: self-joins (match_strings /
+    group_similar_strings), cross-joins (match_strings with duplicates,
+    match_most_similar) -- IDs and output assembly are host-side pandas on
+    the gathered list and need nothing special here.  Bitwise equality with
+    the single-process engine is asserted by tests/test_multihost.py's
+    engine workers and by test_multihost_tier.py under one process.
+    """
+    t = {}
+    t0 = time.perf_counter()
+    is_self = duplicates is None
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    n_m = len(master)
+    n_docs = n_m + (0 if is_self else len(duplicates))
+
+    if config.tfidf_matrix_dtype == np.float32:
+        # The f32 rounding chain (IDF computed in f32 steps) lives in the
+        # host encoder; encode the full corpus locally for bit parity --
+        # the same carve-out as the single-controller mesh path
+        # (parallel/distributed.py sharded_fit_transform).
+        from ..corpus import TfidfEncoder
+
+        enc = TfidfEncoder(config)
+        master_ell, dupes_ell = enc.fit_transform_pair(
+            master, None if is_self else duplicates
+        )
+        full_master, full_right = master_ell, dupes_ell
+    else:
+        per = -(-max(n_docs, 1) // nproc)
+        lo, hi = pid * per, min((pid + 1) * per, n_docs)
+
+        def shard_strings():
+            if hi <= lo:
+                return []
+            out = (
+                list(master.iloc[max(lo, 0):min(hi, n_m)]) if lo < n_m else []
+            )
+            if hi > n_m:
+                out += list(duplicates.iloc[max(lo - n_m, 0):hi - n_m])
+            return out
+
+        local_ell, _idf, n_docs_g = multihost_encode_shard(
+            shard_strings(), config
+        )
+        assert n_docs_g == n_docs
+        t["encode_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        full_ell = _allgather_full_ell(local_ell)
+        t["ell_allgather_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        full_master = _slice_ell(full_ell, 0, n_m)
+        full_right = (
+            full_master if is_self else _slice_ell(full_ell, n_m, n_docs)
+        )
+    t.setdefault("encode_s", time.perf_counter() - t0)
+
+    # Left rows shard contiguously over processes; each process runs the
+    # complete single-controller matcher on its slice.
+    t0 = time.perf_counter()
+    right_series = master if is_self else duplicates
+    n_right = len(right_series)
+    max_n = n_right if config.max_n_matches is None else config.max_n_matches
+    per_l = -(-max(n_m, 1) // nproc)
+    lo_l, hi_l = pid * per_l, min((pid + 1) * per_l, n_m)
+    if hi_l > lo_l:
+        left_slice = _slice_ell(full_master, lo_l, hi_l)
+        left_codes = _dup_codes(master.iloc[lo_l:hi_l], left_slice)
+        right_codes = _dup_codes(right_series, full_right)
+        kwargs = dict(
+            hash_dim=config.hash_dim,
+            left_chunk=config.left_chunk,
+            right_tile=config.right_tile,
+            score_dtype=config.tfidf_matrix_dtype,
+            left_codes=left_codes,
+            right_codes=right_codes,
+        )
+        if config.mesh is not None:
+            from .distributed import distributed_topn_cosine_matches
+
+            pairs_local = distributed_topn_cosine_matches(
+                left_slice, full_right, config.min_similarity, max_n,
+                config.mesh, **kwargs,
+            )
+        else:
+            pairs_local = topn_cosine_matches(
+                left_slice, full_right, config.min_similarity, max_n,
+                **kwargs,
+            )
+    else:
+        pairs_local = _empty_pairs()
+    t["match_s"] = time.perf_counter() - t0
+
+    # One packed f64 collective gathers every shard's pair list (row and
+    # column ids are < 2^53, hence exact in f64).
+    t0 = time.perf_counter()
+    wire = np.empty((len(pairs_local.rows), 3), dtype=np.float64)
+    wire[:, 0] = pairs_local.rows + lo_l
+    wire[:, 1] = pairs_local.cols
+    wire[:, 2] = pairs_local.sims
+    parts = _allgather_ragged(wire)
+    allp = np.concatenate(parts)
+    rows_g = allp[:, 0].astype(np.int64)
+    cols_g = allp[:, 1].astype(np.int64)
+    sims_g = np.ascontiguousarray(allp[:, 2])
+    true_max = (
+        int(np.bincount(rows_g, minlength=n_m).max(initial=0))
+        if len(rows_g)
+        else 0
+    )
+    pairs = MatchPairs(
+        rows=rows_g, cols=cols_g, sims=sims_g, true_max_n_matches=true_max
+    )
+    t["result_allgather_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    if is_self and config.force_symmetries:
+        # Global fix-ups on the gathered list -- deterministic, so every
+        # process produces the identical final ordering (reference
+        # string_grouper.py:419-427).
+        pairs = apply_self_join_fixups(pairs, n_m)
+    t["fixups_s"] = time.perf_counter() - t0
+    return pairs, {k: round(v, 4) for k, v in t.items()}

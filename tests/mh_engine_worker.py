@@ -1,0 +1,105 @@
+"""Engine worker of the PRODUCTION multi-host tier test
+(tests/test_multihost.py::test_two_process_engine).
+
+Run as: python mh_engine_worker.py <proc_id> <nproc> <port>
+
+SPMD contract of the tier: every process calls the SAME engine API with the
+SAME full input Series; the engine shards encode + matching across the
+processes internally (parallel/multihost.py multihost_fit_pairs) and every
+process gets the identical full output DataFrame.  This worker asserts each
+output is BITWISE equal to a single-process fit (multihost=False forces the
+single-controller path for the oracle).  Prints 'ENGINE_OK <proc_id>' on
+success plus per-stage walls for the bench artifact.
+"""
+
+import os
+import sys
+
+proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=nproc,
+    process_id=proc_id,
+)
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import string_grouper_tpu as sgt  # noqa: E402
+from string_grouper_tpu import StringGrouper  # noqa: E402
+
+
+def names(n, seed):
+    rng = np.random.default_rng(seed)
+    stems = ["hyper", "mega", "quantum", "global", "acme", "stellar",
+             "apex", "vertex", "summit", "cascade"]
+    kinds = ["industries", "holdings", "systems", "partners"]
+    out = []
+    for _ in range(n):
+        s = f"{rng.choice(stems)} {rng.choice(stems)} {rng.choice(kinds)}"
+        if rng.random() < 0.4:
+            p = int(rng.integers(0, len(s)))
+            s = s[:p] + s[p + 1:]
+        out.append(s)
+    return pd.Series(out)
+
+
+N = int(os.environ.get("MH_ENGINE_N", "240"))
+series = names(N, seed=5)
+dup = names(N // 2, seed=6)
+ids = pd.Series([f"id{i}" for i in range(N)])
+dids = pd.Series([f"d{i}" for i in range(N // 2)])
+
+assert jax.process_count() == nproc
+
+# --- auto-detection: a plain engine call under a multi-controller job must
+# route through the multihost tier (config.multihost defaults to auto).
+sg = StringGrouper(series, min_similarity=0.6).fit()
+assert "match.mh_match_s" in sg.timings.seconds, sg.timings.seconds
+mh_self = sg.get_matches()
+stage_keys = [k for k in sg.timings.seconds if k.startswith("match.mh_")]
+print(
+    f"STAGES {proc_id} "
+    + " ".join(f"{k.split('mh_')[1]}={sg.timings.seconds[k]}" for k in stage_keys),
+    flush=True,
+)
+
+# Oracles: force the single-controller path on this process.
+oracle_self = sgt.match_strings(series, min_similarity=0.6, multihost=False)
+pd.testing.assert_frame_equal(mh_self, oracle_self)
+print(f"ENGINE_SELF_OK {proc_id}", flush=True)
+
+# Cross-join with IDs through the high-level API (auto multihost).
+mh_cross = sgt.match_strings(series, dup, ids, dids, min_similarity=0.5)
+oracle_cross = sgt.match_strings(
+    series, dup, ids, dids, min_similarity=0.5, multihost=False
+)
+pd.testing.assert_frame_equal(mh_cross, oracle_cross)
+print(f"ENGINE_CROSS_OK {proc_id}", flush=True)
+
+# Grouping (distributed form = gather-to-every-controller + native CC).
+mh_groups = sgt.group_similar_strings(series, ids, min_similarity=0.6)
+oracle_groups = sgt.group_similar_strings(
+    series, ids, min_similarity=0.6, multihost=False
+)
+pd.testing.assert_frame_equal(mh_groups, oracle_groups)
+print(f"ENGINE_GROUPS_OK {proc_id}", flush=True)
+
+# Top-1 semantics incl. NaN repair.
+mh_top1 = sgt.match_most_similar(series, dup, min_similarity=0.5)
+oracle_top1 = sgt.match_most_similar(
+    series, dup, min_similarity=0.5, multihost=False
+)
+pd.testing.assert_frame_equal(mh_top1, oracle_top1)
+print(f"ENGINE_TOP1_OK {proc_id}", flush=True)
+
+print(f"ENGINE_OK {proc_id}", flush=True)

@@ -22,6 +22,7 @@ from pathlib import Path
 import pytest
 
 WORKER = Path(__file__).with_name("mh_worker.py")
+ENGINE_WORKER = Path(__file__).with_name("mh_engine_worker.py")
 
 
 def _gloo_available() -> bool:
@@ -34,12 +35,13 @@ def _gloo_available() -> bool:
         return False
 
 
-def _run_pair(port, extra_env=None):
+def _run_pair(port, extra_env=None, worker=WORKER, expect=(
+        "WORKER_ENCODE_OK", "WORKER_OK", "WORKER_ESC_OK")):
     env = dict(os.environ, JAX_PLATFORMS="cpu", **(extra_env or {}))
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), str(i), "2", port],
+            [sys.executable, str(worker), str(i), "2", port],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -51,9 +53,8 @@ def _run_pair(port, extra_env=None):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
-        assert f"WORKER_ENCODE_OK {i}" in out
-        assert f"WORKER_OK {i}" in out
-        assert f"WORKER_ESC_OK {i}" in out
+        for marker in expect:
+            assert f"{marker} {i}" in out, f"missing {marker}:\n{out[-3000:]}"
 
 
 @pytest.mark.skipif(not _gloo_available(), reason="no gloo collectives")
@@ -69,3 +70,22 @@ def test_two_process_pipeline_byte_keys():
     # keeps the forced cand_c0=2 re-match cheap) so the union re-match is
     # exercised under the byte-key vocabulary representation as well.
     _run_pair("12419", {"MH_NGRAM": "9", "MH_N": "60"})
+
+
+@pytest.mark.skipif(not _gloo_available(), reason="no gloo collectives")
+def test_two_process_engine():
+    """PRODUCTION tier: the ENGINE (match_strings / group_similar_strings /
+    match_most_similar, IDs included) runs under two real processes via the
+    auto-detected multihost path and every output DataFrame is bitwise
+    equal to a single-process fit."""
+    _run_pair(
+        "12439",
+        worker=ENGINE_WORKER,
+        expect=(
+            "ENGINE_SELF_OK",
+            "ENGINE_CROSS_OK",
+            "ENGINE_GROUPS_OK",
+            "ENGINE_TOP1_OK",
+            "ENGINE_OK",
+        ),
+    )

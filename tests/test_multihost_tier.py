@@ -1,0 +1,151 @@
+"""Engine-integrated multi-controller tier (parallel/multihost.py
+``multihost_fit_pairs``), exercised under ONE process.
+
+``multihost=True`` with a single process runs the full production code path
+(shard-local encode, ELL/payload allgathers, per-shard matching, result
+gather, global fix-ups) with degenerate collectives -- so the whole tier is
+covered in the regular suite.  The TRUE two-process form (real gloo
+collectives, one shard per OS process) is tests/test_multihost.py's engine
+workers; its outputs must be bitwise identical to these.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import string_grouper_tpu as sgt
+from string_grouper_tpu import StringGrouper
+
+
+def _names(n: int, seed: int = 0) -> pd.Series:
+    rng = np.random.default_rng(seed)
+    stems = ["hyper", "mega", "quantum", "global", "acme", "stellar",
+             "apex", "vertex", "summit", "cascade"]
+    kinds = ["industries", "holdings", "systems", "partners"]
+    out = []
+    for _ in range(n):
+        s = f"{rng.choice(stems)} {rng.choice(stems)} {rng.choice(kinds)}"
+        if rng.random() < 0.4:
+            p = int(rng.integers(0, len(s)))
+            s = s[:p] + s[p + 1:]
+        out.append(s)
+    return pd.Series(out)
+
+
+class TestMultihostTier:
+    def test_self_join_bitwise(self):
+        s = _names(250, seed=1)
+        a = sgt.match_strings(s, min_similarity=0.6)
+        b = sgt.match_strings(s, min_similarity=0.6, multihost=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_cross_join_with_ids_bitwise(self):
+        s = _names(200, seed=2)
+        d = _names(150, seed=3)
+        ids = pd.Series([f"id{i}" for i in range(200)])
+        dids = pd.Series([f"d{i}" for i in range(150)])
+        a = sgt.match_strings(s, d, ids, dids, min_similarity=0.5)
+        b = sgt.match_strings(
+            s, d, ids, dids, min_similarity=0.5, multihost=True
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_groups_bitwise(self):
+        s = _names(220, seed=4)
+        ids = pd.Series(range(220))
+        a = sgt.group_similar_strings(s, ids, min_similarity=0.6)
+        b = sgt.group_similar_strings(
+            s, ids, min_similarity=0.6, multihost=True
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_most_similar_bitwise(self):
+        s = _names(180, seed=5)
+        d = _names(120, seed=6)
+        a = sgt.match_most_similar(s, d, min_similarity=0.5)
+        b = sgt.match_most_similar(s, d, min_similarity=0.5, multihost=True)
+        pd.testing.assert_frame_equal(a, b)
+        a2 = sgt.match_most_similar(s, d, min_similarity=0.5,
+                                    ignore_index=True)
+        b2 = sgt.match_most_similar(s, d, min_similarity=0.5,
+                                    ignore_index=True, multihost=True)
+        pd.testing.assert_series_equal(a2, b2)
+
+    def test_float32_bitwise(self):
+        s = _names(160, seed=7)
+        a = sgt.match_strings(
+            s, min_similarity=0.6, tfidf_matrix_dtype=np.float32
+        )
+        b = sgt.match_strings(
+            s, min_similarity=0.6, tfidf_matrix_dtype=np.float32,
+            multihost=True,
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_include_zeroes_and_edits(self):
+        """Zero-similarity completion and interactive edits run on the
+        gathered global list exactly like the single-controller engine."""
+        s = _names(60, seed=8)
+        kw = dict(min_similarity=0, max_n_matches=60, include_zeroes=True)
+        a = sgt.match_strings(s, **kw)
+        b = sgt.match_strings(s, **kw, multihost=True)
+        pd.testing.assert_frame_equal(a, b)
+
+        sg_a = StringGrouper(s, min_similarity=0.6).fit()
+        sg_b = StringGrouper(s, min_similarity=0.6, multihost=True).fit()
+        sg_a.add_match(s.iloc[0], s.iloc[1])
+        sg_b.add_match(s.iloc[0], s.iloc[1])
+        pd.testing.assert_frame_equal(sg_a.get_matches(), sg_b.get_matches())
+
+    def test_unicode_corpus(self):
+        """Non-ASCII input disables the byte payload globally (bits0 > 8);
+        the tier must agree on the fallback and stay bitwise-equal."""
+        s = _names(120, seed=9)
+        table = str.maketrans({"a": "á", "e": "é"})
+        s = pd.Series(
+            [x.translate(table) if i % 3 == 0 else x
+             for i, x in enumerate(s)]
+        )
+        a = sgt.match_strings(s, min_similarity=0.5)
+        b = sgt.match_strings(s, min_similarity=0.5, multihost=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_payload_attached_and_collapse_active(self):
+        """The tier inherits the byte-payload + clean-equality collapse
+        pillars: the gathered full ELL carries a DeviceEncodeSrc with row
+        hashes on the ASCII/f64 path."""
+        from string_grouper_tpu.config import StringGrouperConfig
+        from string_grouper_tpu.parallel.multihost import (
+            _allgather_full_ell,
+            multihost_encode_shard,
+        )
+
+        s = _names(80, seed=10)
+        ell, idf, n_docs = multihost_encode_shard(
+            list(s), StringGrouperConfig(min_similarity=0.6)
+        )
+        assert n_docs == 80
+        assert ell.device_src is not None
+        assert ell.device_src.row_hash is not None
+        full = _allgather_full_ell(ell)
+        np.testing.assert_array_equal(full.ids, ell.wait_ready().ids)
+        src = full.device_src
+        assert src is not None
+        # Equal strings must collide on (hash, length) -- the collapse key.
+        dup = pd.Series(["acme holdings", "acme holdings", "apex systems"])
+        ell2, _, _ = multihost_encode_shard(
+            list(dup), StringGrouperConfig(min_similarity=0.6)
+        )
+        h = ell2.device_src.row_hash
+        assert h[0] == h[1] and h[0] != h[2]
+
+    def test_explicit_false_overrides(self):
+        """multihost=False forces the single-controller path even when the
+        auto-detection would fire (process_count is 1 here, so this just
+        checks the knob plumbs through)."""
+        s = _names(50, seed=11)
+        sg = StringGrouper(s, min_similarity=0.6, multihost=False).fit()
+        assert "match.mh_match_s" not in sg.timings.seconds
+        sg2 = StringGrouper(s, min_similarity=0.6, multihost=True).fit()
+        assert "match.mh_match_s" in sg2.timings.seconds
+        pd.testing.assert_frame_equal(sg.get_matches(), sg2.get_matches())

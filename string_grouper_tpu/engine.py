@@ -200,11 +200,15 @@ class StringGrouper:
     def fit(self) -> "StringGrouper":
         """Build the matches list (reference fit(), string_grouper.py:380-431)."""
         from .native import set_native_threads
+        from .utils.jax_cache import ensure_compilation_cache
 
         # number_of_processes caps the native kernels' OpenMP threads --
         # the reference routes the same knob to sp_matmul_topn's n_threads
         # (reference string_grouper.py:22, :731).
         set_native_threads(self._config.number_of_processes)
+        # Persistent XLA cache: a fresh process re-uses earlier compiles
+        # (cold start ~200 s -> seconds at 663k; utils/jax_cache.py).
+        ensure_compilation_cache()
         self.timings.reset()
         if self._use_multihost():
             return self._fit_multihost()

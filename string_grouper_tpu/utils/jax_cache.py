@@ -1,0 +1,65 @@
+"""Persistent XLA compilation cache wiring.
+
+The phase-1 scan chain (nested ``lax.scan`` + Pallas kernel + escalation
+width variants) costs minutes of XLA compile time on a fresh TPU process at
+production corpus sizes (~200 s at 663k), while the steady state fit is
+~7 s.  JAX's persistent compilation cache eliminates that for every process
+after the first -- measured 78 s -> 13.7 s first-fit at 50k on v5e -- but
+nothing enables it by default, so the library turns it on at engine start.
+
+Respects the user: an explicitly configured ``jax_compilation_cache_dir``
+(jax config or the JAX_COMPILATION_CACHE_DIR env var) is left alone;
+``SG_TPU_JAX_CACHE=0`` disables this wiring, any other value overrides the
+default location (``~/.cache/string_grouper_tpu/jax_cache``).
+
+Cache entries are keyed by compiled shapes, which depend on the padded
+corpus size -- a cache warmed at one corpus scale does not serve another,
+but re-running the same pipeline (the production pattern) hits every entry.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+logger = logging.getLogger("string_grouper_tpu")
+
+_done = False
+
+
+def ensure_compilation_cache() -> None:
+    """Idempotently point JAX's persistent compilation cache at a per-user
+    directory unless the user configured one (or opted out)."""
+    global _done
+    if _done:
+        return
+    _done = True
+    knob = os.environ.get("SG_TPU_JAX_CACHE")
+    if knob == "0":
+        return
+    import jax
+
+    try:
+        current = jax.config.jax_compilation_cache_dir
+    except AttributeError:  # pragma: no cover - very old jax
+        return
+    if current:  # user already configured a cache
+        return
+    if knob:
+        path = Path(knob)
+    else:
+        xdg = os.environ.get("XDG_CACHE_HOME")
+        base = Path(xdg) if xdg else Path.home() / ".cache"
+        path = base / "string_grouper_tpu" / "jax_cache"
+    try:
+        path.mkdir(parents=True, exist_ok=True)
+    except OSError:  # pragma: no cover - unwritable home
+        return
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    # Persist even tiny programs: on the tunneled TPU backend EVERY
+    # compile pays a ~0.45 s RPC floor, and a cold fit dispatches ~20
+    # distinct tiny programs -- ~9 s that the default 1 s threshold would
+    # never cache.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    logger.debug("persistent compilation cache at %s", path)

@@ -60,7 +60,17 @@ def _gather_entries(
                 )
         else:
             lname = idx.name if idx.name is not None else "index"
-            entries.append((f"{prefix}{lname}", idx.to_numpy()[positions]))
+            if (
+                isinstance(idx, pd.RangeIndex)
+                and idx.start == 0
+                and idx.step == 1
+            ):
+                # Default index: the gathered labels ARE the positions --
+                # skip materializing a corpus-sized to_numpy() per call.
+                vals = positions.astype(np.int64, copy=True)
+            else:
+                vals = idx.to_numpy()[positions]
+            entries.append((f"{prefix}{lname}", vals))
     name = series.name if series.name else fallback_name
     entries.append((f"{prefix}{name}", series.array.take(positions)))
     return entries

@@ -59,11 +59,13 @@ from ..ops.matcher import (
     adaptive_topn,
     apply_self_join_fixups,
     build_hash_matrix,
+    fused_enabled,
     initial_cand_c,
     initial_k_tile,
     match_block,
     order_like_reference_csr,
 )
+from ..ops.pallas_kernels import p1_fused_closed2, p1_fused_supported
 
 __all__ = [
     "make_mesh",
@@ -344,9 +346,16 @@ def sharded_fit_transform(encoder, master, duplicates, mesh: Mesh):
 
 
 # ------------------------------------------------------------------- matching
-def _local_block(a_hash, b_hash_tiles, thr_eff, *, cand_c: int, k_tile: int):
+def _local_block(
+    a_hash, b_hash_tiles, thr_eff, *, cand_c: int, k_tile: int,
+    fused: bool = False,
+):
     """Per-device body: local phase-1 + cross-shard candidate gather.
 
+    ``fused`` runs the Pallas kernel (ops/pallas_kernels.p1_fused_closed2)
+    as the per-device phase-1 body -- the same kernel the single-chip TPU
+    path defaults to, bit-identical to the XLA tile body, so the mesh path
+    stops leaving its ~30% phase-1 win on the floor (VERDICT r3 item 3).
     Candidates merge by concatenation (``all_gather`` over ``mp``) -- the
     collective form of the reference's ``zip_sp_matmul_topn`` combine
     (string_grouper.py:746); no re-sort is needed because the host scores
@@ -356,13 +365,23 @@ def _local_block(a_hash, b_hash_tiles, thr_eff, *, cand_c: int, k_tile: int):
     bounds.
     """
     n_loc = b_hash_tiles.shape[0] * b_hash_tiles.shape[1]
-    w_vals, w_cols, counts, tmax, bound = match_block(
-        a_hash, b_hash_tiles, thr_eff, cand_c, k_tile
-    )
     neg = jnp.float32(-jnp.inf)
-    cols_loc = jnp.where(
-        w_vals > neg, w_cols + jax.lax.axis_index("mp") * n_loc, -1
-    )
+    if fused:
+        tile = b_hash_tiles.shape[1]
+        ship, counts, tmax, bound, _mc = p1_fused_closed2(
+            a_hash, b_hash_tiles.reshape(n_loc, -1), thr_eff,
+            tile=tile, cand_c=cand_c,
+        )
+        cols_loc = jnp.where(
+            ship >= 0, ship + jax.lax.axis_index("mp") * n_loc, -1
+        )
+    else:
+        w_vals, w_cols, counts, tmax, bound = match_block(
+            a_hash, b_hash_tiles, thr_eff, cand_c, k_tile
+        )
+        cols_loc = jnp.where(
+            w_vals > neg, w_cols + jax.lax.axis_index("mp") * n_loc, -1
+        )
     gc = jax.lax.all_gather(cols_loc, "mp")  # (mp, m, W)
     mp_sz, m, w = gc.shape
     cols = jnp.swapaxes(gc, 0, 1).reshape(m, mp_sz * w)
@@ -375,9 +394,10 @@ def _local_block(a_hash, b_hash_tiles, thr_eff, *, cand_c: int, k_tile: int):
     return cols, bound, counts, tmax
 
 
-@partial(jax.jit, static_argnames=("mesh", "cand_c", "k_tile"))
+@partial(jax.jit, static_argnames=("mesh", "cand_c", "k_tile", "fused"))
 def _dist_match(
-    mesh: Mesh, a_hash_chunks, b_hash_tiles, thr_eff, cand_c: int, k_tile: int
+    mesh: Mesh, a_hash_chunks, b_hash_tiles, thr_eff, cand_c: int,
+    k_tile: int, fused: bool = False,
 ):
     """Sharded corpus phase 1: outer scan over left super-chunks, per-device
     local matching inside ``shard_map``."""
@@ -385,7 +405,8 @@ def _dist_match(
     def scan_over_chunks(a_chunks_loc, b_tiles_loc, thr):
         def chunk_body(_, a_hash):
             out = _local_block(
-                a_hash, b_tiles_loc, thr, cand_c=cand_c, k_tile=k_tile
+                a_hash, b_tiles_loc, thr, cand_c=cand_c, k_tile=k_tile,
+                fused=fused,
             )
             return None, out
 
@@ -494,15 +515,27 @@ def _phase1_distributed(
     n_seg = n_sc // spg
     seg_rows = spg * sc
 
+    on_tpu = jax.devices()[0].platform == "tpu"
+
     def run_stream(thr_eff, cand_c, k_tile):
         thr = jnp.float32(thr_eff)
+        # Fused Pallas per-device body (same eligibility as the single-chip
+        # path; Pallas-in-shard_map is supported on TPU, the XLA body stays
+        # the oracle on CPU meshes and for escalation widths).
+        use_fused = (
+            on_tpu
+            and fused_enabled()
+            and k_tile == 2
+            and thr_eff > 0
+            and p1_fused_supported(chunk_loc, n_loc, hash_dim, tile, cand_c)
+        )
         do_compact = thr_eff > 0 and cand_c > _SHIP_BUDGET_ROWS
         budget = -(-seg_rows * _SHIP_BUDGET_ROWS // 1024) * 1024
         futs = []
         for g in range(n_seg):
             cols, bound, counts, tmax, max_cnt = _dist_match(
                 mesh, a_hash_chunks[g * spg : (g + 1) * spg],
-                b_hash_tiles, thr, cand_c, k_tile,
+                b_hash_tiles, thr, cand_c, k_tile, fused=use_fused,
             )
             cols2 = cols.reshape(-1, cols.shape[-1])
             if do_compact:

@@ -948,229 +948,14 @@ def _corpus_match(
     return cols, bound, counts, tmax, tmax.max()
 
 
-def _closed2(ub, thr_eff, axis, off, neg):
-    """kt=2 closed-form extraction along ``axis`` of a (tile, tile) score
-    block (see _ub_topk_scan): recovers up to two qualified entries per
-    line from pure reductions.  ``off`` is the global id base of the
-    extracted (column) dimension."""
-    tile_r, tile_c = ub.shape
-    mask = ub >= thr_eff
-    ubm = jnp.where(mask, ub, neg)
-    iota = jax.lax.broadcasted_iota(jnp.int32, ub.shape, axis)
-    cnt = mask.sum(axis=axis, dtype=jnp.int32)
-    vmax = ubm.max(axis=axis)
-    cmax = jnp.argmax(ubm, axis=axis).astype(jnp.int32)
-    hit = (iota == cmax[:, None]) if axis == 1 else (iota == cmax[None, :])
-    vmax2 = jnp.where(hit, neg, ubm).max(axis=axis)
-    s1 = jnp.where(mask, iota, 0).sum(axis=axis, dtype=jnp.int32)
-    other = s1 - cmax
-    have1 = cnt >= 1
-    have2 = cnt == 2
-    tv = jnp.stack(
-        [jnp.where(have1, vmax, neg), jnp.where(have2, vmax2, neg)], axis=1
-    )
-    tc = jnp.stack(
-        [jnp.where(have1, cmax, 0) + off, jnp.where(have2, other, 0) + off],
-        axis=1,
-    )
-    bnd = jnp.where(cnt > 2, vmax2, neg)
-    return tv, tc, cnt, bnd
+# The XLA triangular self-join scan (_self_seg_match / _merge_future /
+# _finish_segment / run_stream_tri, rounds 2-3) was DELETED after the
+# in-kernel Pallas experiment confirmed the negative result at the kernel
+# level too: on v5e the closed-form epilogue is VPU-bound, so halving the
+# MXU work cannot pay for carrying the symmetric half's state -- see
+# TRIANGULAR_AB_r04.json and pallas_kernels.p1_tri_fused (retained,
+# un-wired, as the recorded experiment).
 
-
-@partial(jax.jit, static_argnames=("cand_c",))
-def _self_seg_match(
-    a_seg: jax.Array,  # (cpg, tile, d) bf16 -- this segment's left tiles
-    b_tiles_seg: jax.Array,  # (n_j, tile, d) bf16 -- right tiles [j0, n_tiles)
-    j0: jax.Array,  # i32 scalar: global tile index of b_tiles_seg[0]
-    thr_eff: jax.Array,  # f32 scalar
-    cand_c: int,
-):
-    """One segment of the triangular self-join phase 1.
-
-    Scores are symmetric, so the corpus-wide scan only multiplies tile
-    pairs (I, J) with J >= segment_start(I) -- about half the MXU work of
-    the full square.  Each block feeds BOTH sides: row-axis closed-form
-    extraction yields this segment's candidates in tile J, and column-axis
-    extraction yields tile J's candidates among this segment's rows, which
-    the caller merges into a device-resident future buffer
-    (``_merge_future``) for segments processed later.  Ordered coverage is
-    exact and unduplicated: pair (T, U) is covered by the row pass when
-    U >= segment_start(T) and by exactly one earlier segment's column pass
-    otherwise.
-
-    Structured as nested ``lax.scan`` like ``_corpus_match`` -- the
-    fori+dynamic-update formulation of the same computation ran ~10x
-    slower at corpus scale (per-iteration updates of the corpus-sized
-    running buffers defeat XLA's in-place scheduling), and a monolithic
-    whole-corpus program crashed the tunneled TPU runtime.
-
-    Returns (w_vals, w_cols, counts, tmax, tbound, max_cnt, cv, cc, ccnt,
-    cbnd): row-side per-row top-``cand_c`` candidates (desc, -inf = none)
-    with qualified counts, per-tile max counts (for the escalation width
-    split), and drop bounds for the segment's rows, plus the stacked
-    column-side stripes (cpg, n_j, tile, 2) for future rows.
-    """
-    cpg, tile, _ = a_seg.shape
-    n_j = b_tiles_seg.shape[0]
-    neg = jnp.float32(-jnp.inf)
-    col_off = (j0 + jnp.arange(n_j, dtype=jnp.int32)) * tile
-    a_off = (j0 + jnp.arange(cpg, dtype=jnp.int32)) * tile
-
-    def chunk_body(_, xs_a):
-        a, a_base = xs_a
-
-        def tile_body(carry, xs):
-            b, c_base = xs
-            cnt_acc, tm_acc, tb_acc, mc = carry
-            ub = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
-            rv, rc, rcnt, rbnd = _closed2(ub, thr_eff, 1, c_base, neg)
-            cnt_acc = cnt_acc + rcnt
-            tm_acc = jnp.maximum(tm_acc, rcnt)
-            tb_acc = jnp.maximum(tb_acc, rbnd)
-            mc = jnp.maximum(mc, rcnt.max())
-            cv, cc, ccnt, cbnd = _closed2(ub, thr_eff, 0, a_base, neg)
-            mc = jnp.maximum(mc, ccnt.max())
-            return (cnt_acc, tm_acc, tb_acc, mc), (
-                rv, rc, cv, cc, ccnt, cbnd
-            )
-
-        init = (
-            jnp.zeros((tile,), jnp.int32),
-            jnp.zeros((tile,), jnp.int32),
-            jnp.full((tile,), neg),
-            jnp.int32(0),
-        )
-        (cnt, tm, tb, mc), (rv, rc, cv, cc, ccnt, cbnd) = jax.lax.scan(
-            tile_body, init, (b_tiles_seg, col_off)
-        )
-        # Row side: (n_j, tile, 2) -> per-row top-cand_c across tiles.
-        w_vals = jnp.swapaxes(rv, 0, 1).reshape(tile, n_j * 2)
-        w_cols = jnp.swapaxes(rc, 0, 1).reshape(tile, n_j * 2)
-        if n_j * 2 > cand_c:
-            n_fin = (w_vals > neg).sum(axis=1, dtype=jnp.int32)
-            w_vals, idx = jax.lax.top_k(w_vals, cand_c)
-            w_cols = jnp.take_along_axis(w_cols, idx, axis=1)
-            tb = jnp.maximum(
-                tb, jnp.where(n_fin > cand_c, w_vals[:, -1], neg)
-            )
-        else:
-            w_vals, idx = jax.lax.top_k(w_vals, n_j * 2)
-            w_cols = jnp.take_along_axis(w_cols, idx, axis=1)
-        return None, (w_vals, w_cols, cnt, tm, tb, mc, cv, cc, ccnt, cbnd)
-
-    _, out = jax.lax.scan(chunk_body, None, (a_seg, a_off))
-    w_vals, w_cols, cnt, tm, tb, mc, cv, cc, ccnt, cbnd = out
-    return w_vals, w_cols, cnt, tm, tb, mc.max(), cv, cc, ccnt, cbnd
-
-
-@partial(
-    jax.jit, static_argnames=("cand_c",), donate_argnums=(0, 1, 2, 3, 4)
-)
-def _merge_future(
-    fv: jax.Array,  # (n_p, cand_c) f32 running future values
-    fc: jax.Array,  # (n_p, cand_c) i32
-    fcounts: jax.Array,  # (n_p,) i32
-    ftmax: jax.Array,  # (n_p,) i32 running per-row max per-tile count
-    fbound: jax.Array,  # (n_p,) f32
-    cv: jax.Array,  # (cpg, nf, tile, 2) f32 -- future column-side stripes
-    cc: jax.Array,  # (cpg, nf, tile, 2) i32
-    ccnt: jax.Array,  # (cpg, nf, tile) i32
-    cbnd: jax.Array,  # (cpg, nf, tile) f32
-    dst0: jax.Array,  # i32 scalar: global row of the first future tile
-    cand_c: int,
-):
-    """Merge one segment's column-side stripes into the running future
-    top-``cand_c`` buffers: one vectorized ``top_k`` over the contiguous
-    future-row slice per segment (the stripes' tiles are consecutive)."""
-    neg = jnp.float32(-jnp.inf)
-    cpg, nf, tile, _ = cv.shape
-    rows = nf * tile
-    cvr = jnp.transpose(cv, (1, 2, 0, 3)).reshape(rows, cpg * 2)
-    ccr = jnp.transpose(cc, (1, 2, 0, 3)).reshape(rows, cpg * 2)
-    cnt_t = jnp.transpose(ccnt, (1, 2, 0)).reshape(rows, cpg)
-    cntr = cnt_t.sum(axis=1, dtype=jnp.int32)
-    # Each stripe element is one (future-row, left-tile) qualified count,
-    # so the per-row max over stripes is the exact per-tile maximum the
-    # escalation width split needs.
-    tmr = cnt_t.max(axis=1)
-    bndr = jnp.transpose(cbnd, (1, 2, 0)).reshape(rows, cpg).max(axis=1)
-    old_v = jax.lax.dynamic_slice(fv, (dst0, 0), (rows, cand_c))
-    old_c = jax.lax.dynamic_slice(fc, (dst0, 0), (rows, cand_c))
-    cat_v = jnp.concatenate([old_v, cvr], axis=1)
-    cat_c = jnp.concatenate([old_c, ccr], axis=1)
-    n_fin = (cat_v > neg).sum(axis=1, dtype=jnp.int32)
-    new_v, idx = jax.lax.top_k(cat_v, cand_c)
-    new_c = jnp.take_along_axis(cat_c, idx, axis=1)
-    trunc = jnp.where(n_fin > cand_c, new_v[:, -1], neg)
-    fv = jax.lax.dynamic_update_slice(fv, new_v, (dst0, 0))
-    fc = jax.lax.dynamic_update_slice(fc, new_c, (dst0, 0))
-    cs = jax.lax.dynamic_slice(fcounts, (dst0,), (rows,)) + cntr
-    fcounts = jax.lax.dynamic_update_slice(fcounts, cs, (dst0,))
-    ts = jnp.maximum(jax.lax.dynamic_slice(ftmax, (dst0,), (rows,)), tmr)
-    ftmax = jax.lax.dynamic_update_slice(ftmax, ts, (dst0,))
-    bs = jnp.maximum(
-        jax.lax.dynamic_slice(fbound, (dst0,), (rows,)),
-        jnp.maximum(bndr, trunc),
-    )
-    fbound = jax.lax.dynamic_update_slice(fbound, bs, (dst0,))
-    return fv, fc, fcounts, ftmax, fbound
-
-
-@partial(jax.jit, static_argnames=("cand_c", "budget"))
-def _finish_segment(
-    w_vals: jax.Array,  # (cpg, tile, <=cand_c) f32 row-side candidates
-    w_cols: jax.Array,
-    cnt: jax.Array,  # (cpg, tile) i32 row-side qualified counts
-    tm: jax.Array,  # (cpg, tile) i32 row-side per-tile max counts
-    tb: jax.Array,  # (cpg, tile) f32 row-side drop bounds
-    fv: jax.Array,  # (n_pp, cand_c) f32 future buffers (read-only here)
-    fc: jax.Array,
-    fcounts: jax.Array,  # (n_pp,) i32
-    ftmax: jax.Array,  # (n_pp,) i32
-    fbound: jax.Array,  # (n_pp,) f32
-    r0: jax.Array,  # i32 scalar: global row of the segment's first row
-    cand_c: int,
-    budget: int,
-):
-    """Combine a segment's row-side candidates with its accumulated
-    column-side (future-buffer) candidates, then compact for download."""
-    neg = jnp.float32(-jnp.inf)
-    cpg, tile, w = w_vals.shape
-    rows = cpg * tile
-    rv = w_vals.reshape(rows, w)
-    rc = w_cols.reshape(rows, w)
-    fv_slice = jax.lax.dynamic_slice(fv, (r0, 0), (rows, cand_c))
-    fc_slice = jax.lax.dynamic_slice(fc, (r0, 0), (rows, cand_c))
-    fcounts_slice = jax.lax.dynamic_slice(fcounts, (r0,), (rows,))
-    ftmax_slice = jax.lax.dynamic_slice(ftmax, (r0,), (rows,))
-    fbound_slice = jax.lax.dynamic_slice(fbound, (r0,), (rows,))
-    cat_v = jnp.concatenate([rv, fv_slice], axis=1)
-    cat_c = jnp.concatenate([rc, fc_slice], axis=1)
-    n_fin = (cat_v > neg).sum(axis=1, dtype=jnp.int32)
-    new_v, idx = jax.lax.top_k(cat_v, cand_c)
-    new_c = jnp.take_along_axis(cat_c, idx, axis=1)
-    trunc = jnp.where(n_fin > cand_c, new_v[:, -1], neg)
-    counts = cnt.reshape(rows) + fcounts_slice
-    tmax = jnp.maximum(tm.reshape(rows), ftmax_slice)
-    bound = jnp.maximum(
-        jnp.maximum(tb.reshape(rows), fbound_slice), trunc
-    )
-    ship = jnp.where(new_v > neg, new_c, -1)
-    flat, n_i = _compact_cols(ship, budget)
-    return flat, n_i, counts, tmax, bound, ship
-
-
-def triangular_enabled() -> bool:
-    """Opt-in (``SG_TPU_TRIANGULAR=1``): the triangular self-join scan
-    halves the phase-1 MXU work (row+column extraction per tile pair), but
-    measured at 663k on v5e the column-side extraction plus future-buffer
-    merge machinery cancels the matmul saving (17.5 s vs 17.6 s wall in a
-    same-process A/B) while tripling the cold-compile chain -- so the
-    streamed full scan stays the default.  The path is kept (a) as the
-    scaffold for a future multi-chip diagonal-block decomposition, where
-    halving FLOPs pays regardless of epilogue cost, and (b) under test
-    coverage via tests/test_matcher.py."""
-    return os.environ.get("SG_TPU_TRIANGULAR", "0") == "1"
 
 
 # -------------------------------------------------------------- host driver
@@ -1255,69 +1040,6 @@ def _phase1_single(
     n_seg = n_chunks // cpg
     seg_rows = cpg * chunk
 
-    def run_stream_tri(thr_eff, cand_c):
-        """Triangular self-join pass, segment-streamed: per segment of left
-        tiles, one ``_self_seg_match`` dispatch over tiles >= the segment
-        start (half the square's matmuls overall), one ``_merge_future``
-        accumulation of its column-side stripes, and one ``_finish_segment``
-        compaction.  Yields per segment like the full streamed scan, so
-        host scoring overlaps device matching."""
-        thr = jnp.float32(thr_eff)
-        nt = n_right_p // tile
-        n_seg_t = min(8, max(1, nt // 2))
-        cpg_t = -(-nt // n_seg_t)
-        nt_p = n_seg_t * cpg_t
-        tiles_all = b_hash_tiles
-        if nt_p > nt:
-            tiles_all = jnp.concatenate(
-                [
-                    b_hash_tiles,
-                    jnp.zeros(
-                        (nt_p - nt, tile, hash_dim), b_hash_tiles.dtype
-                    ),
-                ]
-            )
-        n_pp = nt_p * tile
-        seg_rows_t = cpg_t * tile
-        budget = -(-seg_rows_t * _SHIP_BUDGET_ROWS // 1024) * 1024
-        fv = jnp.full((n_pp, cand_c), jnp.float32(-jnp.inf))
-        fc = jnp.zeros((n_pp, cand_c), jnp.int32)
-        fcounts = jnp.zeros((n_pp,), jnp.int32)
-        ftmax = jnp.zeros((n_pp,), jnp.int32)
-        fbound = jnp.full((n_pp,), jnp.float32(-jnp.inf))
-        futs = []
-        for s in range(n_seg_t):
-            b0 = s * cpg_t
-            a_seg = jax.lax.slice_in_dim(tiles_all, b0, b0 + cpg_t)
-            b_seg = jax.lax.slice_in_dim(tiles_all, b0, nt_p)
-            w_vals, w_cols, cnt, tm, tb, mc, cv, cc, ccnt, cbnd = (
-                _self_seg_match(
-                    a_seg, b_seg, jnp.int32(b0), thr, cand_c=cand_c
-                )
-            )
-            # Finish reads this segment's future-buffer rows BEFORE the
-            # merge below donates the buffers.
-            flat, n_i, counts_d, tmax_d, bound_d, ship_d = _finish_segment(
-                w_vals, w_cols, cnt, tm, tb,
-                fv, fc, fcounts, ftmax, fbound, jnp.int32(b0 * tile),
-                cand_c=cand_c, budget=budget,
-            )
-            flat = _ship_cols(flat, n_pp)
-            if b0 + cpg_t < nt_p:
-                fv, fc, fcounts, ftmax, fbound = _merge_future(
-                    fv, fc, fcounts, ftmax, fbound,
-                    cv[:, cpg_t:], cc[:, cpg_t:],
-                    ccnt[:, cpg_t:], cbnd[:, cpg_t:],
-                    jnp.int32((b0 + cpg_t) * tile), cand_c=cand_c,
-                )
-            futs.append((
-                _join_wire(_pack_meta(counts_d, tmax_d, bound_d, n_i), flat),
-                ship_d, True, mc,
-            ))
-        yield from _consume_stream(
-            futs, budget, n_pp, seg_rows_t, n_left, n_right
-        )
-
     def run_stream(thr_eff, cand_c, k_tile):
         """Yield ``(rows, cols, base, rows_here, bound, counts, tmax,
         max_cnt)`` per segment -- rows/cols are the segment's candidate
@@ -1326,15 +1048,6 @@ def _phase1_single(
         are dispatched up front (including the compaction epilogue); the
         device queue drains while the consumer scores earlier segments."""
         thr = jnp.float32(thr_eff)
-        if (
-            is_self
-            and k_tile == 2
-            and thr_eff > 0
-            and triangular_enabled()
-            and n_left_p == n_right_p
-        ):
-            yield from run_stream_tri(thr_eff, cand_c)
-            return
         use_fused = (
             on_tpu
             and fused_enabled()

@@ -241,143 +241,257 @@ def _closed2_cols(s, mask, ubm, off):
     return p0, p1, q0, q1, cnt, bnd
 
 
+#: Future-state packing: ONE lane-aligned (n_pad, 128) f32 array per fit
+#: holds, per right row, 60 candidate values, their 60 column ids
+#: (bitcast i32), and 8 metadata slots [cnt, tmax, bound, nfin, ...] --
+#: manual DMA slabs must be 128-lane aligned, and one slab per direction
+#: beats three.
+TRI_FUT_C = 60
+_TRI_META_OFF = 2 * TRI_FUT_C
+
+
+def tri_future_init(n_pad: int) -> jax.Array:
+    """Initial packed future state: values -inf, cols 0, meta 0 except the
+    bound slot (-inf)."""
+    import numpy as np
+
+    f = np.zeros((n_pad, 128), dtype=np.float32)
+    f[:, :TRI_FUT_C] = -np.inf
+    f[:, _TRI_META_OFF + 2] = -np.inf
+    return jnp.asarray(f)
+
+
+def tri_future_unpack(fpack):
+    """(values, cols, meta) views of the packed future state (XLA side)."""
+    fv = fpack[:, :TRI_FUT_C]
+    fc = jax.lax.bitcast_convert_type(
+        fpack[:, TRI_FUT_C:_TRI_META_OFF], jnp.int32
+    )
+    fm = fpack[:, _TRI_META_OFF:]
+    return fv, fc, fm
+
+
 def _p1_tri_body(
-    j0_ref, thr_ref,  # SMEM scalars
-    a_ref, b_ref,  # inputs: (bm, d) left block, (tile, d) right tile
-    rv_in, rc_in, rmeta_in,  # aliased row-side state (blocks indexed i)
-    fv_in, fc_in, fmeta_in,  # aliased future state (blocks indexed j)
-    rv_out, rc_out, rmeta_out,
-    fv_out, fc_out, fmeta_out,
+    j0_ref,  # scalar prefetch: first right tile this segment scans
+    thr_ref,  # SMEM f32[1]
+    a_ref,  # (bm, d) left sub-block of tile I
+    b_ref,  # (tile, d) right tile j (clamped to j0 on skipped steps)
+    f_any,  # aliased packed future state (HBM-resident, ANY)
+    rv_out, rc_out, rm_out,  # row-side outputs, blocked by I
+    f_out,  # aliased packed future output (ANY)
+    rs_v, rs_c, rs_m,  # scratch: tile I's running row-side top-C + meta
+    cs_v, cs_c, cs_m,  # scratch: current (I, j) per-column top-2 + meta
+    st_f,  # scratch: DMA staging of future block j (tile, 128)
+    sem_r, sem_w,  # DMA semaphores
 ):
-    """One (right tile j, left block i) step of the triangular self-join
-    phase 1.  Grid is (j, i): j sweeps ALL right tiles with a runtime
-    ``j0`` start guard (one compiled program serves every segment), i
-    sweeps the segment's left blocks innermost.
+    """One (left tile I, right tile j, sub-block k) step of the triangular
+    self-join phase 1.  See ``p1_tri_fused`` for the decomposition.
 
-    Row side: the segment's running sorted top-C buffers live in HBM as
-    aliased in/out arrays blocked by i -- each (j, i) step fetches block
-    i's buffers, merges the block's <= 2 new candidates by rank insertion,
-    and writes them back (~1 MB/step of HBM round-trip, microseconds).
-    Row metadata (count, per-tile max, drop bound, finite insertions) is
-    packed into one (bm, 8) f32 block: [cnt, tile_cnt, tmax, bound, nfin].
+    Row side: tile I's running sorted top-C buffers live in VMEM scratch
+    (resident across the whole (j, k) sweep for fixed I -- I is the outer
+    grid dim), initialized at I's first active step and flushed to the
+    I-indexed outputs at its last step.  Per step the block's closed-form
+    per-row top-2 rank-inserts into the k-th slice of the scratch.
 
-    Column side: the FUTURE buffers (top-C per right row, fed by the
-    symmetric reading of each score block) are aliased arrays blocked by
-    j -- resident across the whole inner i sweep -- merged in-kernel by
-    the same rank insertion, with per-left-TILE column counts accumulated
-    so ``ftmax`` keeps the exact per-tile semantics the escalation width
-    split needs.  Column work is guarded to j >= j0 + cpg (tiles at or
-    after the segment's own range are covered by row passes), matching
-    the XLA triangular scan's coverage argument (ops/matcher.py
-    ``_self_seg_match``).
+    Column side: the per-column top-2 of tile I x tile j accumulates over
+    k in (tile, 2) scratch by sorted-pair merge; at k's end it
+    read-modify-writes the packed future state's block j (HBM-resident
+    aliased array, explicit DMA) -- one ~2 MB round-trip per (I, j) pair,
+    i.e. per ``tile/bm`` MXU steps.  Guarded to j >= j0 + cpg: tiles
+    inside the segment's own range are covered by row passes (the same
+    coverage argument as ops/matcher.py ``_self_seg_match``).
+
+    Metadata layout (f32, exact for counts < 2^24):
+    [cnt, tmax, bound, nfin]; cs_m slot 1 carries sub-block second-max
+    bounds (columns with > 2 qualified in one sub-block recover only
+    their top-1; the dropped values are bounded by that sub-block's
+    second max, which can exceed the merged top-2's second value).
     """
-    j = pl.program_id(0)
-    i = pl.program_id(1)
-    n_i = pl.num_programs(1)
+    I = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    nt = pl.num_programs(1)
+    tpb = pl.num_programs(2)  # sub-blocks per left tile
     bm = a_ref.shape[0]
-    bn = b_ref.shape[0]
+    tile = b_ref.shape[0]
+    cand_c = rs_v.shape[1]
     j0 = j0_ref[0]
     thr = thr_ref[0]
-    cand_c = rv_in.shape[1]
-    blocks_per_tile = bn // bm
-    cpg = n_i // blocks_per_tile  # left tiles per segment
+    cpg = pl.num_programs(0)
     active = j >= j0
+    neg = _NEG
 
-    # Pass-through defaults (skipped steps write the fetched state back).
-    rv, rc = rv_in[:], rc_in[:]
-    rmeta = rmeta_in[:]
-    fv, fc = fv_in[:], fc_in[:]
-    fmeta = fmeta_in[:]
+    @pl.when(active & (j == j0) & (k == 0))
+    def _():  # I's first active step: reset the row-side scratch
+        rs_v[:] = jnp.full((tile, cand_c), neg, jnp.float32)
+        rs_c[:] = jnp.zeros((tile, cand_c), jnp.int32)
+        z = jnp.zeros((tile, 1), jnp.float32)
+        rs_m[:] = jnp.concatenate(
+            [z, z, jnp.full((tile, 1), neg, jnp.float32), z, z, z, z, z],
+            axis=1,
+        )
 
     @pl.when(active)
     def _():
         s = jnp.dot(a_ref[:], b_ref[:].T, preferred_element_type=jnp.float32)
         mask = s >= thr
-        ubm = jnp.where(mask, s, _NEG)
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
-        # Row-side closed-form kt=2 extraction (as _p1_body).
+        ubm = jnp.where(mask, s, neg)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 1)
+        # --- row side: closed-form per-row top-2 of this (bm, tile) block
         cnt = mask.sum(axis=1, dtype=jnp.int32)
         s1 = jnp.where(mask, col_iota, 0).sum(axis=1, dtype=jnp.int32)
         vmax = ubm.max(axis=1)
         cmax = jnp.argmax(ubm, axis=1).astype(jnp.int32)
-        vmax2 = jnp.where(col_iota == cmax[:, None], _NEG, ubm).max(axis=1)
+        vmax2 = jnp.where(col_iota == cmax[:, None], neg, ubm).max(axis=1)
         other = s1 - cmax
         have1 = cnt >= 1
         have2 = cnt == 2
-        off = j * bn
-        p0 = jnp.where(have1, vmax, _NEG)
-        p1 = jnp.where(have2, vmax2, _NEG)
+        off = j * tile
+        p0 = jnp.where(have1, vmax, neg)
+        p1 = jnp.where(have2, vmax2, neg)
         q0 = jnp.where(have1, cmax, 0) + off
         q1 = jnp.where(have2, other, 0) + off
+        row0 = k * bm
+        rv = rs_v[pl.ds(row0, bm), :]
+        rc = rs_c[pl.ds(row0, bm), :]
         nrv, nrc = _rank_insert2(rv, rc, p0, p1, q0, q1)
-        rv_out[:], rc_out[:] = nrv, nrc
-        m = rmeta
-        m = m.at[:, 0].add(cnt.astype(jnp.float32))
-        m = m.at[:, 1].set(jnp.maximum(m[:, 1], cnt.astype(jnp.float32)))
-        m = m.at[:, 2].set(
-            jnp.maximum(m[:, 2], jnp.where(cnt > 2, vmax2, _NEG))
+        rs_v[pl.ds(row0, bm), :] = nrv
+        rs_c[pl.ds(row0, bm), :] = nrc
+        m = rs_m[pl.ds(row0, bm), :]
+        cntf = cnt.astype(jnp.float32)
+        rs_m[pl.ds(row0, bm), :] = jnp.stack(
+            [
+                m[:, 0] + cntf,
+                jnp.maximum(m[:, 1], cntf),
+                jnp.maximum(m[:, 2], jnp.where(cnt > 2, vmax2, neg)),
+                m[:, 3]
+                + (have1.astype(jnp.int32) + have2.astype(jnp.int32)).astype(
+                    jnp.float32
+                ),
+                m[:, 4], m[:, 5], m[:, 6], m[:, 7],
+            ],
+            axis=1,
         )
-        m = m.at[:, 3].add(
-            (have1.astype(jnp.int32) + have2.astype(jnp.int32)).astype(
-                jnp.float32
-            )
-        )
-        rmeta_out[:] = m
 
-        # Column side: only tiles strictly after the segment's own range
-        # accumulate future candidates (within-range columns are covered
-        # by row passes -- see docstring).
+        # --- column side (future tiles only)
         @pl.when(j >= j0 + cpg)
         def _():
-            row_off = j0 * bn + i * bm
-            cp0, cp1, cq0, cq1, ccnt, cbnd = _closed2_cols(s, mask, ubm, row_off)
-            nfv, nfc = _rank_insert2(fv, fc, cp0, cp1, cq0, cq1)
-            fv_out[:], fc_out[:] = nfv, nfc
-            fm = fmeta
-            fm = fm.at[:, 0].add(ccnt.astype(jnp.float32))
-            # Per-left-TILE column count: slot 5 accumulates the current
-            # left tile's count, folded into the tmax slot (and reset) at
-            # each tile boundary.
-            cur = fm[:, 5] + ccnt.astype(jnp.float32)
-            at_tile_end = (i + 1) % blocks_per_tile == 0
-            fm = fm.at[:, 1].set(
-                jnp.where(at_tile_end, jnp.maximum(fm[:, 1], cur), fm[:, 1])
-            )
-            fm = fm.at[:, 5].set(jnp.where(at_tile_end, 0.0, cur))
-            fm = fm.at[:, 2].set(jnp.maximum(fm[:, 2], cbnd))
-            fm = fm.at[:, 3].add(
-                ((ccnt >= 1).astype(jnp.int32) + (ccnt >= 2).astype(jnp.int32))
-                .astype(jnp.float32)
-            )
-            fmeta_out[:] = fm
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 0)
+            ccnt = mask.sum(axis=0, dtype=jnp.int32)
+            cs1 = jnp.where(mask, row_iota, 0).sum(axis=0, dtype=jnp.int32)
+            cvmax = ubm.max(axis=0)
+            ccmax = jnp.argmax(ubm, axis=0).astype(jnp.int32)
+            cvmax2 = jnp.where(row_iota == ccmax[None, :], neg, ubm).max(axis=0)
+            cother = cs1 - ccmax
+            ch1 = ccnt >= 1
+            ch2 = ccnt == 2
+            roff = j0 * tile + I * tile + k * bm
+            b0 = jnp.where(ch1, cvmax, neg)
+            b1 = jnp.where(ch2, cvmax2, neg)
+            d0 = jnp.where(ch1, ccmax, 0) + roff
+            d1 = jnp.where(ch2, cother, 0) + roff
 
-        @pl.when(j < j0 + cpg)
-        def _():
-            fv_out[:], fc_out[:] = fv, fc
-            fmeta_out[:] = fmeta
+            @pl.when(k == 0)
+            def _():
+                cs_v[:] = jnp.full((tile, 2), neg, jnp.float32)
+                cs_c[:] = jnp.zeros((tile, 2), jnp.int32)
+                zc = jnp.zeros((tile, 1), jnp.float32)
+                cs_m[:] = jnp.concatenate(
+                    [zc, jnp.full((tile, 1), neg, jnp.float32),
+                     zc, zc, zc, zc, zc, zc],
+                    axis=1,
+                )
+                # start the future-block read DMA while the k sweep runs
+                pltpu.make_async_copy(
+                    f_out.at[pl.ds(j * tile, tile), :], st_f, sem_r
+                ).start()
 
-    @pl.when(jnp.logical_not(active))
-    def _():
-        rv_out[:], rc_out[:] = rv, rc
-        rmeta_out[:] = rmeta
-        fv_out[:], fc_out[:] = fv, fc
-        fmeta_out[:] = fmeta
+            # merge the block's per-column top-2 into the running (tile, 2)
+            a0, a1 = cs_v[:, 0], cs_v[:, 1]
+            ca0, ca1 = cs_c[:, 0], cs_c[:, 1]
+            awins = a0 >= b0
+            w0v = jnp.where(awins, a0, b0)
+            w0c = jnp.where(awins, ca0, d0)
+            l0v = jnp.where(awins, b0, a0)
+            l0c = jnp.where(awins, d0, ca0)
+            wsv = jnp.where(awins, a1, b1)
+            wsc = jnp.where(awins, ca1, d1)
+            lwins = l0v >= wsv
+            m1v = jnp.where(lwins, l0v, wsv)
+            m1c = jnp.where(lwins, l0c, wsc)
+            cs_v[:] = jnp.stack([w0v, m1v], axis=1)
+            cs_c[:] = jnp.stack([w0c, m1c], axis=1)
+            cm = cs_m[:]
+            cs_m[:] = jnp.stack(
+                [
+                    cm[:, 0] + ccnt.astype(jnp.float32),
+                    jnp.maximum(cm[:, 1], jnp.where(ccnt > 2, cvmax2, neg)),
+                    cm[:, 2], cm[:, 3], cm[:, 4], cm[:, 5], cm[:, 6],
+                    cm[:, 7],
+                ],
+                axis=1,
+            )
+
+            @pl.when(k == tpb - 1)
+            def _():  # fold tile I's column results into future block j
+                cnt_tile = cs_m[:, 0]
+                fv0, fc0 = cs_v[:, 0], cs_c[:, 0]
+                fv1, fc1 = cs_v[:, 1], cs_c[:, 1]
+                bnd_tile = jnp.maximum(
+                    jnp.where(cnt_tile > 2, fv1, neg), cs_m[:, 1]
+                )
+                pltpu.make_async_copy(
+                    f_out.at[pl.ds(j * tile, tile), :], st_f, sem_r
+                ).wait()
+                st = st_f[:]
+                sv = st[:, :TRI_FUT_C]
+                sc = jax.lax.bitcast_convert_type(
+                    st[:, TRI_FUT_C:_TRI_META_OFF], jnp.int32
+                )
+                fm = st[:, _TRI_META_OFF:]
+                nv, nc = _rank_insert2(sv, sc, fv0, fv1, fc0, fc1)
+                nm = jnp.stack(
+                    [
+                        fm[:, 0] + cnt_tile,
+                        jnp.maximum(fm[:, 1], cnt_tile),
+                        jnp.maximum(fm[:, 2], bnd_tile),
+                        fm[:, 3]
+                        + (cnt_tile >= 1).astype(jnp.float32)
+                        + (cnt_tile >= 2).astype(jnp.float32),
+                        fm[:, 4], fm[:, 5], fm[:, 6], fm[:, 7],
+                    ],
+                    axis=1,
+                )
+                st_f[:] = jnp.concatenate(
+                    [
+                        nv,
+                        jax.lax.bitcast_convert_type(nc, jnp.float32),
+                        nm,
+                    ],
+                    axis=1,
+                )
+                cp = pltpu.make_async_copy(
+                    st_f, f_out.at[pl.ds(j * tile, tile), :], sem_w
+                )
+                cp.start()
+                cp.wait()
+
+    @pl.when((j == nt - 1) & (k == tpb - 1))
+    def _():  # I's last step: flush the row-side scratch
+        rv_out[:] = rs_v[:]
+        rc_out[:] = rs_c[:]
+        rm_out[:] = rs_m[:]
 
 
 @partial(
     jax.jit,
     static_argnames=("tile", "cand_c", "block_m", "interpret"),
-    donate_argnums=(2, 3, 4, 5, 6, 7),
+    donate_argnums=(2,),
 )
 def p1_tri_fused(
     a_seg: jax.Array,  # (seg_rows, d) bf16 -- this segment's left rows
     b_hash: jax.Array,  # (n_pad, d) bf16 -- full padded corpus
-    rv: jax.Array,  # (seg_rows, cand_c) f32 -inf -- fresh per segment
-    rc: jax.Array,  # (seg_rows, cand_c) i32
-    rmeta: jax.Array,  # (seg_rows, 8) f32 zeros (bound slot -inf)
-    fv: jax.Array,  # (n_pad, cand_c) f32 -- running future buffers
-    fc: jax.Array,  # (n_pad, cand_c) i32
-    fmeta: jax.Array,  # (n_pad, 8) f32
+    fpack: jax.Array,  # (n_pad, 128) f32 packed future state (donated)
     j0: jax.Array,  # i32 scalar: first right tile this segment scans
     thr_eff: jax.Array,  # f32 scalar
     tile: int = 4096,
@@ -386,68 +500,90 @@ def p1_tri_fused(
     interpret: bool = False,
 ):
     """Triangular self-join phase 1 for ONE left segment, fully in-kernel
-    (VERDICT r3 item 2): each (left block, right tile >= j0) score block is
+    (VERDICT r3 item 2): each (left tile I, right tile j >= j0) pair is
     multiplied ONCE and feeds BOTH the segment rows' running top-C (row
-    axis) and the later tiles' future top-C (column axis), so the corpus-
-    wide scan performs ~half the square scan's MXU work with no XLA merge
-    epilogue (the cost that made the XLA triangular scan neutral,
-    ops/matcher.py ``triangular_enabled``).
+    axis, VMEM scratch) and tile j's future top-C (column axis, explicit
+    DMA read-modify-write of the HBM-resident packed future state) --
+    ~half the square scan's MXU work with no XLA merge epilogue (the cost
+    that made the XLA triangular scan neutral, ops/matcher.py
+    ``triangular_enabled``).  One compiled program serves every segment:
+    ``j0`` is a scalar-prefetch argument and the b-tile index map clamps
+    skipped steps onto tile j0 (no redundant DMA).
 
-    Returns the updated ``(rv, rc, rmeta, fv, fc, fmeta)`` (donated).
-    Metadata layout per row: [count, tmax, bound, nfin, 0, cur_tile_cnt,
-    0, 0] as f32 (exact for counts < 2^24)."""
+    Returns ``(rv, rc, rmeta, fpack)``: the segment's row-side top-C +
+    metadata [cnt, tmax, bound, nfin, ...], and the updated (donated)
+    packed future state (see ``tri_future_init`` / ``tri_future_unpack``).
+    The caller combines each segment's row side with its rows' future
+    slice (accumulated by earlier segments).
+    """
     seg_rows, d = a_seg.shape
     n_pad = b_hash.shape[0]
-    n_tiles = n_pad // tile
-    bm = min(block_m, seg_rows)
-    n_i = seg_rows // bm
-    grid = (n_tiles, n_i)
+    nt = n_pad // tile
+    bm = min(block_m, tile)
+    tpb = tile // bm
+    cpg = seg_rows // tile
+    grid = (cpg, nt, tpb)
     j0s = jnp.asarray(j0, jnp.int32).reshape(1)
     thrs = jnp.asarray(thr_eff, jnp.float32).reshape(1)
-    row_spec = [
-        pl.BlockSpec((bm, cand_c), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, cand_c), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, 8), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-    ]
-    fut_spec = [
-        pl.BlockSpec((tile, cand_c), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, cand_c), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 8), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-    ]
-    out = pl.pallas_call(
-        _p1_tri_body,
+
+    def a_map(I, j, k, j0_ref):
+        return (I * tpb + k, 0)
+
+    def b_map(I, j, k, j0_ref):
+        return (jnp.maximum(j, j0_ref[0]), 0)
+
+    def row_map(I, j, k, j0_ref):
+        return (I, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((bm, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-            *row_spec,
-            *fut_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # thr
+            pl.BlockSpec((bm, d), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), b_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # fpack (HBM)
         ],
-        out_specs=[*row_spec, *fut_spec],
+        out_specs=[
+            pl.BlockSpec((tile, cand_c), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, cand_c), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, cand_c), jnp.float32),
+            pltpu.VMEM((tile, cand_c), jnp.int32),
+            pltpu.VMEM((tile, 8), jnp.float32),
+            pltpu.VMEM((tile, 2), jnp.float32),
+            pltpu.VMEM((tile, 2), jnp.int32),
+            pltpu.VMEM((tile, 8), jnp.float32),
+            pltpu.VMEM((tile, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    rv, rc, rmeta, fpack = pl.pallas_call(
+        _p1_tri_body,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((seg_rows, cand_c), jnp.float32),
             jax.ShapeDtypeStruct((seg_rows, cand_c), jnp.int32),
             jax.ShapeDtypeStruct((seg_rows, 8), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, cand_c), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, cand_c), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
         ],
-        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4, 9: 5},
+        input_output_aliases={4: 3},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=seg_rows * n_pad * d,  # ~half the square
-            bytes_accessed=seg_rows * d * 2 + n_tiles * (seg_rows // bm) * 0
-            + n_pad * d * 2 + seg_rows * cand_c * 8,
+            bytes_accessed=seg_rows * d * 2 + n_pad * d * 2 + n_pad * 512,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(j0s, thrs, a_seg, b_hash, rv, rc, rmeta, fv, fc, fmeta)
-    return out
+    )(j0s, thrs, a_seg, b_hash, fpack)
+    return rv, rc, rmeta, fpack
 
 
 def p1_fused_supported(m: int, n_pad: int, d: int, tile: int,

@@ -168,27 +168,67 @@ def test_pack20_roundtrip():
         np.testing.assert_array_equal(got, flat[:count].astype(np.int64))
 
 
-def test_triangular_scan_identical_to_streamed(monkeypatch):
-    """The opt-in triangular self-join scan (SG_TPU_TRIANGULAR=1, see
-    matcher.triangular_enabled) must produce the identical pair set,
-    similarities, and ordering as the default streamed scan, across
-    several tilings (exercises multi-segment coverage, the future-buffer
-    merge, and the within-segment lower-triangle row pass)."""
-    strings = random_names(300, seed=11)
-    enc = TfidfEncoder(StringGrouperConfig())
-    ell, _ = enc.fit_transform_pair(strings, None)
-    for right_tile in (16, 64, 256):
-        monkeypatch.delenv("SG_TPU_TRIANGULAR", raising=False)
-        base = topn_cosine_matches(
-            ell, None, 0.5, 20, right_tile=right_tile, left_chunk=right_tile
-        )
-        monkeypatch.setenv("SG_TPU_TRIANGULAR", "1")
-        got = topn_cosine_matches(
-            ell, None, 0.5, 20, right_tile=right_tile, left_chunk=right_tile
-        )
-        np.testing.assert_array_equal(got.rows, base.rows)
-        np.testing.assert_array_equal(got.cols, base.cols)
-        np.testing.assert_allclose(got.sims, base.sims, rtol=0, atol=0)
+def test_triangular_kernel_candidate_completeness():
+    """The Pallas triangular kernel (pallas_kernels.p1_tri_fused) is the
+    RECORDED NEGATIVE experiment of TRIANGULAR_AB_r04.json -- un-wired but
+    kept correct: per segment, merged row-side + future-side candidates
+    must cover every qualified column (or bound it), with exact counts and
+    per-tile maxima, across thresholds and candidate widths (interpret
+    mode; the real-device equality was part of the A/B record)."""
+    import jax
+    import jax.numpy as jnp
+
+    from string_grouper_tpu.ops.pallas_kernels import (
+        p1_tri_fused,
+        tri_future_init,
+        tri_future_unpack,
+    )
+
+    n, d, tile, bm, cpg = 512, 128, 128, 64, 2
+    nt = n // tile
+    seg_rows = cpg * tile
+    rng = np.random.default_rng(0)
+    h = rng.random((n, d)).astype(np.float32) * (rng.random((n, d)) < 0.05)
+    h /= np.maximum(np.linalg.norm(h, axis=1, keepdims=True), 1e-9)
+    b = jnp.asarray(h, jnp.bfloat16)
+    S = np.asarray(b, np.float32) @ np.asarray(b, np.float32).T
+    for thr, cand_c in ((0.15, 16), (0.05, 8)):
+        fpack = tri_future_init(n)
+        segs = []
+        for s in range(nt // cpg):
+            rv, rc, rme, fpack = p1_tri_fused(
+                b[s * seg_rows:(s + 1) * seg_rows], b, fpack,
+                jnp.int32(s * cpg), jnp.float32(thr),
+                tile=tile, cand_c=cand_c, block_m=bm, interpret=True,
+            )
+            fv, fc, fme = (np.asarray(x) for x in tri_future_unpack(fpack))
+            segs.append((
+                np.asarray(rv), np.asarray(rc), np.asarray(rme),
+                fv[s * seg_rows:(s + 1) * seg_rows].copy(),
+                fc[s * seg_rows:(s + 1) * seg_rows].copy(),
+                fme[s * seg_rows:(s + 1) * seg_rows].copy(),
+            ))
+        for s, (rv, rc, rme, sfv, sfc, sfme) in enumerate(segs):
+            for r_loc in range(seg_rows):
+                r = s * seg_rows + r_loc
+                qual = np.flatnonzero(S[r] >= thr)
+                vs = np.concatenate([rv[r_loc], sfv[r_loc]])
+                cs = np.concatenate([rc[r_loc], sfc[r_loc]])
+                fin = vs > -np.inf
+                got = set(cs[fin].tolist())
+                assert rme[r_loc, 0] + sfme[r_loc, 0] == len(qual)
+                nfin = rme[r_loc, 3] + sfme[r_loc, 3]
+                ms = np.sort(vs[fin])[::-1]
+                trunc = (
+                    ms[cand_c - 1]
+                    if nfin > cand_c and len(ms) >= cand_c
+                    else -np.inf
+                )
+                bound = max(rme[r_loc, 2], sfme[r_loc, 2], trunc)
+                for c in set(qual.tolist()) - got:
+                    assert S[r, c] <= bound + 1e-6, (r, c, S[r, c], bound)
+                per_tile = (S[r].reshape(nt, tile) >= thr).sum(axis=1)
+                assert max(rme[r_loc, 1], sfme[r_loc, 1]) == per_tile.max()
 
 
 def test_diagonal_always_one_even_for_empty_strings():

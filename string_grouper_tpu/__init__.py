@@ -41,7 +41,7 @@ from .config import (
 from .engine import StringGrouper
 from .validation import StringGrouperNotFitException
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "compute_pairwise_similarities",

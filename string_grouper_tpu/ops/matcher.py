@@ -1116,11 +1116,28 @@ def _phase1_single(
             # they produce no candidates and no download bytes.
             valid = (jnp.arange(m_p) < m)[:, None]
             a_sel = jnp.where(valid, a_sel, 0)
-        a_sel = a_sel.reshape(-1, chunk, hash_dim)
-        cols, ub_last, counts, _tmax, max_cnt = _corpus_match(
-            a_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c, k_tile
-        )
-        cols2 = cols.reshape(-1, cols.shape[-1])
+        if (
+            on_tpu
+            and fused_enabled()
+            and k_tile == 2
+            and thr_eff > 0
+            and p1_fused_supported(m_p, n_right_p, hash_dim, tile, cand_c)
+        ):
+            # kt=2 escalation buckets (rows unsafe only via top-C
+            # truncation) re-match on the fused kernel too -- the same
+            # eligibility as the streamed scan, so the measured phase-1
+            # win also covers this leg (VERDICT r3 item 2 leftovers).
+            cols2, counts, _tmax, ub_last, max_cnt = p1_fused_closed2(
+                a_sel, b_hash, jnp.float32(thr_eff),
+                tile=tile, cand_c=cand_c,
+            )
+        else:
+            a_chunks_sel = a_sel.reshape(-1, chunk, hash_dim)
+            cols, ub_last, counts, _tmax, max_cnt = _corpus_match(
+                a_chunks_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c,
+                k_tile,
+            )
+            cols2 = cols.reshape(-1, cols.shape[-1])
         w = cols2.shape[-1]
         wire = None
         budget = 0

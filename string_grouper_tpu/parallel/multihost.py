@@ -658,6 +658,14 @@ def multihost_fit_pairs(
         if config.mesh is not None:
             from .distributed import distributed_topn_cosine_matches
 
+            local = set(jax.local_devices())
+            if not all(d in local for d in config.mesh.devices.flat):
+                raise ValueError(
+                    "multihost + mesh: the mesh must contain only this "
+                    "process's local devices (each process runs its own "
+                    "sharded matcher on its left-row slice; build it from "
+                    "jax.local_devices(), not jax.devices())."
+                )
             pairs_local = distributed_topn_cosine_matches(
                 left_slice, full_right, config.min_similarity, max_n,
                 config.mesh, **kwargs,

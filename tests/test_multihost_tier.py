@@ -139,6 +139,19 @@ class TestMultihostTier:
         h = ell2.device_src.row_hash
         assert h[0] == h[1] and h[0] != h[2]
 
+    def test_mesh_composes_with_multihost(self):
+        """multihost + a LOCAL mesh: each process's matcher runs sharded
+        over its own devices (all devices are local under one process);
+        output stays bitwise-equal."""
+        from string_grouper_tpu.parallel import make_mesh
+
+        s = _names(150, seed=12)
+        a = sgt.match_strings(s, min_similarity=0.6)
+        b = sgt.match_strings(
+            s, min_similarity=0.6, multihost=True, mesh=make_mesh(4, dp=2)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
     def test_explicit_false_overrides(self):
         """multihost=False forces the single-controller path even when the
         auto-detection would fire (process_count is 1 here, so this just

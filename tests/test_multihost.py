@@ -36,16 +36,16 @@ def _gloo_available() -> bool:
 
 
 def _run_pair(port, extra_env=None, worker=WORKER, expect=(
-        "WORKER_ENCODE_OK", "WORKER_OK", "WORKER_ESC_OK")):
+        "WORKER_ENCODE_OK", "WORKER_OK", "WORKER_ESC_OK"), nproc=2):
     env = dict(os.environ, JAX_PLATFORMS="cpu", **(extra_env or {}))
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", port],
+            [sys.executable, str(worker), str(i), str(nproc), port],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
     outs = []
     for p in procs:
@@ -88,4 +88,17 @@ def test_two_process_engine():
             "ENGINE_TOP1_OK",
             "ENGINE_OK",
         ),
+    )
+
+
+@pytest.mark.skipif(not _gloo_available(), reason="no gloo collectives")
+def test_three_process_engine():
+    """N > 2: uneven shard sizes (240 rows over 3 processes, each with 2
+    virtual devices) through the same engine path."""
+    _run_pair(
+        "12459",
+        worker=ENGINE_WORKER,
+        expect=("ENGINE_SELF_OK", "ENGINE_GROUPS_OK", "ENGINE_OK"),
+        nproc=3,
+        extra_env={"MH_ENGINE_N": "150"},
     )

@@ -152,6 +152,29 @@ class TestMultihostTier:
         )
         pd.testing.assert_frame_equal(a, b)
 
+    def test_randomized_fuzz_vs_single_controller(self):
+        """Randomized corpora/thresholds/top-n/dtype: the tier must stay
+        bitwise-equal to the single-controller engine (the multihost form
+        of the mesh fuzz in test_distributed.py)."""
+        rng = np.random.default_rng(99)
+        for trial in range(5):
+            n = int(rng.integers(30, 220))
+            s = _names(n, seed=1000 + trial)
+            kw = dict(
+                min_similarity=float(rng.choice([0.0, 0.3, 0.6, 0.85])),
+                max_n_matches=int(rng.integers(1, 12)),
+            )
+            if rng.random() < 0.3:
+                kw["tfidf_matrix_dtype"] = np.float32
+            if rng.random() < 0.5:
+                d = _names(int(rng.integers(20, 150)), seed=2000 + trial)
+                a = sgt.match_strings(s, d, **kw)
+                b = sgt.match_strings(s, d, **kw, multihost=True)
+            else:
+                a = sgt.match_strings(s, **kw)
+                b = sgt.match_strings(s, **kw, multihost=True)
+            pd.testing.assert_frame_equal(a, b)
+
     def test_explicit_false_overrides(self):
         """multihost=False forces the single-controller path even when the
         auto-detection would fire (process_count is 1 here, so this just

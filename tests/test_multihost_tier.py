@@ -175,6 +175,25 @@ class TestMultihostTier:
                 b = sgt.match_strings(s, **kw, multihost=True)
             pd.testing.assert_frame_equal(a, b)
 
+    def test_edge_cases(self):
+        """Tiny corpora, no-symmetry self-joins, max_n_matches=None, and
+        fewer rows than processes-worth of shards."""
+        for s in (pd.Series(["solo"]), pd.Series(["a b c", "a b c", "xyz"])):
+            a = sgt.match_strings(s, min_similarity=0.1)
+            b = sgt.match_strings(s, min_similarity=0.1, multihost=True)
+            pd.testing.assert_frame_equal(a, b)
+        s = _names(60, seed=13)
+        a = sgt.match_strings(s, min_similarity=0.5, force_symmetries=False)
+        b = sgt.match_strings(
+            s, min_similarity=0.5, force_symmetries=False, multihost=True
+        )
+        pd.testing.assert_frame_equal(a, b)
+        a = sgt.match_strings(s, min_similarity=0.7, max_n_matches=None)
+        b = sgt.match_strings(
+            s, min_similarity=0.7, max_n_matches=None, multihost=True
+        )
+        pd.testing.assert_frame_equal(a, b)
+
     def test_explicit_false_overrides(self):
         """multihost=False forces the single-controller path even when the
         auto-detection would fire (process_count is 1 here, so this just

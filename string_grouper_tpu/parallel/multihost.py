@@ -263,8 +263,8 @@ def multihost_match_shard(
     min_similarity: float,
     max_n_matches: int,
     *,
-    hash_dim: int = 128,
-    tile: int = 8,
+    hash_dim: int = 512,
+    tile: int = 4096,
     cand_c0: Optional[int] = None,
 ):
     """Self-join matching under multi-controller SPMD: this process owns

@@ -159,6 +159,8 @@ def get_scorer_lib() -> Optional[ctypes.CDLL]:
     lib.fill_code_rows6.argtypes = [p_u8, p_i64, p_i32, i64, i64, p_u32]
     lib.gather_rows_u8.restype = None
     lib.gather_rows_u8.argtypes = [p_u8, p_i64, p_i64, i64, p_i64, p_u8]
+    lib.clean_group_codes.restype = None
+    lib.clean_group_codes.argtypes = [p_u8, p_i64, p_u64, i64, p_i64]
     lib.set_num_threads.restype = None
     lib.set_num_threads.argtypes = [i64]
     lib.get_max_threads.restype = i64

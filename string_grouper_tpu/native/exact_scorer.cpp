@@ -358,6 +358,59 @@ int64_t selfjoin_fixups_f64(
     return w;
 }
 
+// Clean-equality duplicate grouping (ops/matcher.py _clean_refined_codes):
+// group rows by (row_hash, length), byte-verify every member against its
+// group's minimum-position representative, demote mismatches (hash
+// collisions) to fresh singleton groups.  Emits ONE group code per row;
+// the caller normalizes code order (matcher._group_positions), and the
+// collapse layer's output is provably invariant to the coding, so only
+// group MEMBERSHIP must match the numpy oracle.  Replaces two
+// corpus-sized numpy lexsorts + gather/verify temporaries (~0.4-1.5 s at
+// 663k on the weather-sensitive host) with one parallel-sorted pass.
+void clean_group_codes(
+    const uint8_t* flat, const int64_t* coff, const uint64_t* hashes,
+    int64_t n, int64_t* codes_out)
+{
+    struct Key { uint64_t h; int64_t len; int64_t idx; };
+    std::vector<Key> keys(n);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        keys[i] = Key{hashes[i], coff[i + 1] - coff[i], i};
+    }
+    std::sort(keys.begin(), keys.end(), [](const Key& a, const Key& b) {
+        if (a.h != b.h) return a.h < b.h;
+        if (a.len != b.len) return a.len < b.len;
+        return a.idx < b.idx;
+    });
+    int64_t gid = -1;
+    std::vector<int64_t> bad;
+    int64_t run_rep = -1;
+    for (int64_t k = 0; k < n; ++k) {
+        const Key& cur = keys[k];
+        const bool new_group =
+            k == 0 || cur.h != keys[k - 1].h || cur.len != keys[k - 1].len;
+        if (new_group) {
+            ++gid;
+            run_rep = cur.idx;
+            codes_out[cur.idx] = gid;
+            continue;
+        }
+        const int64_t len = cur.len;
+        if (len == 0 ||
+            std::memcmp(flat + coff[cur.idx], flat + coff[run_rep],
+                        size_t(len)) == 0) {
+            codes_out[cur.idx] = gid;
+        } else {
+            bad.push_back(cur.idx);
+        }
+    }
+    // Demoted rows become fresh singleton groups after the last gid, in
+    // ascending position order (matching the oracle's membership shape).
+    std::sort(bad.begin(), bad.end());
+    int64_t next = gid + 1;
+    for (int64_t b : bad) codes_out[b] = next++;
+}
+
 // Thread-count plumbing for the reference's ``number_of_processes`` knob
 // (reference string_grouper.py:22, :731 routes it to sp_matmul_topn's
 // n_threads): every OpenMP-parallel kernel in this library honors the

@@ -1718,6 +1718,24 @@ def _clean_refined_codes(src) -> Optional[np.ndarray]:
     h = getattr(src, "row_hash", None)
     if h is None:
         return None
+    from ..native import get_scorer_lib
+
+    lib = get_scorer_lib()
+    if lib is not None and hasattr(lib, "clean_group_codes"):
+        # Native one-pass grouping (parallel sort + memcmp verification):
+        # the two corpus-sized numpy lexsorts + verification temporaries
+        # below were 0.4-1.5 s at 663k on the weather-sensitive host.
+        # Emits a different (but equivalent) coding order; the collapse
+        # layer normalizes and its output is coding-invariant.
+        codes = np.empty(len(h), dtype=np.int64)
+        lib.clean_group_codes(
+            np.ascontiguousarray(src.flat_codes),
+            np.ascontiguousarray(src.coff),
+            np.ascontiguousarray(h),
+            len(h),
+            codes,
+        )
+        return codes
     lens = src.row_lengths()
     n = len(h)
     order = np.lexsort((lens, h))

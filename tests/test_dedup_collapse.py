@@ -239,3 +239,41 @@ def test_clean_hash_collision_is_demoted():
     codes = _clean_refined_codes(forged)
     assert codes[0] == codes[2]
     assert codes[1] != codes[0]
+
+
+def test_native_clean_grouping_partition_equals_numpy_oracle():
+    """The native clean_group_codes emits a (possibly differently ordered)
+    coding whose PARTITION must equal the numpy oracle's -- membership is
+    what the collapse layer consumes (its output is coding-invariant)."""
+    import string_grouper_tpu.native.build as B
+    from string_grouper_tpu.native import get_scorer_lib
+    from string_grouper_tpu.ops.matcher import _clean_refined_codes
+
+    if get_scorer_lib() is None:
+        pytest.skip("native library unavailable")
+    strings = (
+        ["Mega Corp", "mega corp", "MEGA-CORP", "tiny llc", "Tiny LLC",
+         "other", "", " ", "mega corp"] * 5
+    )
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell, _ = enc.fit_transform_pair(strings, None)
+    native = _clean_refined_codes(ell.device_src)
+    # force the numpy fallback
+    B._lib, B._lib_tried = None, True
+    try:
+        oracle = _clean_refined_codes(ell.device_src)
+    finally:
+        B._lib, B._lib_tried = None, False
+    assert native is not None and oracle is not None
+    import pandas as pd
+
+    cn = pd.factorize(native)[0]
+    co = pd.factorize(oracle)[0]
+    assert cn.max() == co.max()
+    # same partition: each pair equal-in-one iff equal-in-other
+    for a, b in ((cn, co), (co, cn)):
+        order = np.lexsort((b, a))
+        aa, bb = a[order], b[order]
+        newg = np.r_[True, aa[1:] != aa[:-1]]
+        first_b = np.maximum.accumulate(np.where(newg, bb, -1))
+        assert ((bb == first_b) | newg).all()

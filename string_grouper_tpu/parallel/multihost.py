@@ -1,10 +1,23 @@
-"""True multi-process (multi-host) matching: the DCN form of the pipeline.
+"""True multi-process (multi-host) matching: the DCN forms of the pipeline.
 
-Every function here runs under ``jax.distributed`` multi-controller SPMD:
-N processes, each holding ONLY its shard of the corpus strings, with a
-global device mesh spanning all processes.  This is the executable form of
-docs/architecture.md's "Multi-host status and DCN plan" -- exercised by
-tests/test_multihost.py on two CPU processes with gloo collectives, and
+Two tiers live here (docs/architecture.md "Multi-host status"):
+
+* the PRODUCTION engine-integrated tier (:func:`multihost_fit_pairs`,
+  selected by ``StringGrouperConfig.multihost``): SPMD over processes --
+  same engine call, same full inputs everywhere; encode shards per
+  process, the exact blocks + byte payload allgather once, each process
+  runs the complete single-controller matcher on its left-row slice, and
+  one packed collective gathers the results, so every process returns the
+  identical full output.  The hot loop crosses no process boundary.
+* the shard-local DEMONSTRATION tier (:func:`multihost_encode_shard` +
+  :func:`multihost_match_shard`), described below: each process holds
+  ONLY its shard of the corpus strings and the hashed projection is a
+  globally sharded device array -- the shape a pod needs when the right
+  side cannot be host-replicated.
+
+Every function runs under ``jax.distributed`` multi-controller SPMD with a
+global device mesh spanning all processes -- exercised by
+tests/test_multihost.py on real CPU processes with gloo collectives, and
 shaped so a TPU pod slice (ICI within hosts, DCN across) runs the same
 program.
 

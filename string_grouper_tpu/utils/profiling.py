@@ -35,7 +35,11 @@ class PhaseTimings:
         self.seconds.clear()
 
     def __repr__(self) -> str:  # pragma: no cover - cosmetic
-        body = ", ".join(f"{k}={v:.3f}s" for k, v in self.seconds.items())
+        body = ", ".join(
+            # Counter entries (rounds, pairs_scored, ...) are ints, not walls.
+            f"{k}={v}" if isinstance(v, int) else f"{k}={v:.3f}s"
+            for k, v in self.seconds.items()
+        )
         return f"PhaseTimings({body})"
 
 

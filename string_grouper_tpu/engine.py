@@ -238,6 +238,16 @@ class StringGrouper:
                     None if is_self else self._duplicates,
                     defer_fill=True,
                 )
+                # Start the full-corpus payload upload + device hash build
+                # on a worker thread NOW: the wire transfer (serial head of
+                # p1_wait) overlaps the collapse/setup host stages; the
+                # matcher gathers unique rows from it on device (bitwise-
+                # equal to a subset ship -- ops/matcher.prefetch_corpus_hash).
+                from .ops.matcher import prefetch_corpus_hash
+
+                prefetch_corpus_hash(master_ell, self._config.hash_dim)
+                if not is_self:
+                    prefetch_corpus_hash(dupes_ell, self._config.hash_dim)
         self._master_ell = master_ell
         self._dupes_ell = None if is_self else dupes_ell
 

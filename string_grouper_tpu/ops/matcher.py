@@ -51,6 +51,7 @@ in the configured matrix dtype.
 from __future__ import annotations
 
 import os
+import time as _time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from functools import partial
@@ -481,6 +482,45 @@ def device_encode_enabled() -> bool:
     return os.environ.get("SG_TPU_DEVICE_ENCODE", "1") != "0"
 
 
+_PREFETCH_POOL = ThreadPoolExecutor(
+    max_workers=1, thread_name_prefix="sg-hash-prefetch"
+)
+
+
+def prefetch_corpus_hash(ell: EllMatrix, hash_dim: int) -> None:
+    """Dispatch the FULL-corpus payload upload + device hash build on a
+    worker thread at encode completion, so the wire transfer (the serial
+    head of ``p1_wait``: ~0.6 s at 663k on the tunneled link) overlaps the
+    host collapse/setup stages instead of leaving the device idle.
+
+    Per-row hashing is row-local given the corpus-global (table, idf), so
+    a device gather of unique rows from the full matrix is bitwise equal
+    to shipping a host-side subset (``test_matcher.py::test_prefetch_
+    gather_equals_subset_build``); the consumers below use the prefetched
+    matrix whenever the requested dim matches.  No-op without a device
+    payload."""
+    src = getattr(ell, "device_src", None)
+    if src is None or not device_encode_enabled():
+        return
+    pf = getattr(src, "_hash_prefetch", None)
+    if pf is not None and pf[0] == hash_dim:
+        return
+    n = len(src.inv_norm)
+    fut = _PREFETCH_POOL.submit(_build_hash_from_codes, src, n, hash_dim)
+    # DeviceEncodeSrc is a frozen dataclass; the cache is bookkeeping, not
+    # payload state.
+    object.__setattr__(src, "_hash_prefetch", (hash_dim, fut))
+
+
+def _prefetched_hash(src, dim: int) -> Optional[jax.Array]:
+    """The prefetched (n, dim) full-corpus hash matrix, or None.  Build
+    errors propagate here -- the direct build would hit the same one."""
+    pf = getattr(src, "_hash_prefetch", None)
+    if pf is None or pf[0] != dim:
+        return None
+    return pf[1].result()
+
+
 def build_hash_matrix(
     ell: EllMatrix, n_pad: int, dim: int, narrow_w: int = 32,
     min_rows: int = 10000,
@@ -501,6 +541,11 @@ def build_hash_matrix(
         raise ValueError("hash_dim must be <= 32768")
     src = getattr(ell, "device_src", None)
     if src is not None and device_encode_enabled():
+        full = _prefetched_hash(src, dim)
+        if full is not None:
+            if n_pad > full.shape[0]:
+                full = jnp.pad(full, ((0, n_pad - full.shape[0]), (0, 0)))
+            return full
         return _build_hash_from_codes(src, n_pad, dim)
     n = ell.n_rows
     nnz = ell.nnz_per_row()
@@ -1003,8 +1048,13 @@ def _phase1_single(
         gathered on device."""
         src = getattr(ell, "device_src", None)
         if src is not None and device_encode_enabled():
-            return _build_hash_from_codes(src.take_rows(sel), n_pad, hash_dim)
-        full = build_hash_matrix(ell, ell.n_rows, hash_dim)
+            full = _prefetched_hash(src, hash_dim)
+            if full is None:
+                return _build_hash_from_codes(
+                    src.take_rows(sel), n_pad, hash_dim
+                )
+        else:
+            full = build_hash_matrix(ell, ell.n_rows, hash_dim)
         idx = np.zeros(n_pad, dtype=np.int32)
         idx[:n_valid] = sel
         return _gather_pad_rows(full, jnp.asarray(idx), n_valid, n_pad)
@@ -1266,8 +1316,6 @@ def adaptive_topn(
     inflates the corpus-wide download or forces a second full pass.
     Without it (distributed path), the widths grow globally.
     """
-    import time as _time
-
     if n_left is None:
         n_left = left.n_rows
     if n_right is None:
@@ -1888,6 +1936,7 @@ def match_with_collapse(
     unique rows and the result expands back exactly (``_expand_dedup``);
     otherwise the plain whole-corpus pass runs.
     """
+    t_collapse0 = _time.perf_counter()
     if device_encode_enabled():
         src_l = getattr(left, "device_src", None)
         refined = _clean_refined_codes(src_l) if src_l is not None else None
@@ -1921,17 +1970,25 @@ def match_with_collapse(
         # Only pay the expansion machinery when something actually
         # collapses.
         dedup = u_left < left.n_rows or u_right < right_m.n_rows
+    collapse_s = _time.perf_counter() - t_collapse0
 
     if not dedup:
+        t0 = _time.perf_counter()
         run, run_rows, c_cap, tile, n_tiles = phase1_factory(None, None)
+        setup_s = _time.perf_counter() - t0
         c0 = initial_cand_c(min_similarity, max_n, right_m.n_rows, c_cap)
         kt0 = initial_k_tile(min_similarity, right_m.n_rows, tile, c0)
-        return adaptive_topn(
+        pairs = adaptive_topn(
             run, left, right_m, min_similarity, max_n,
             c_cap=c_cap, kt_cap=tile, n_tiles=n_tiles, c0=c0, kt0=kt0,
             phase1_run_rows=run_rows, score_dtype=score_dtype,
         )
+        LAST_STATS["collapse"] = collapse_s
+        LAST_STATS["p1_setup"] = setup_s
+        return pairs
+    t0 = _time.perf_counter()
     run, run_rows, c_cap, tile, n_tiles = phase1_factory(first_l, first_r)
+    setup_s = _time.perf_counter() - t0
     c0 = initial_cand_c(min_similarity, max_n, u_right, c_cap)
     kt0 = initial_k_tile(min_similarity, u_right, tile, c0)
     pairs_u = adaptive_topn(
@@ -1947,11 +2004,16 @@ def match_with_collapse(
         if np.dtype(score_dtype) == np.float32
         else min_similarity
     )
-    return _expand_dedup(
+    LAST_STATS["collapse"] = collapse_s
+    LAST_STATS["p1_setup"] = setup_s
+    t0 = _time.perf_counter()
+    pairs = _expand_dedup(
         pairs_u, codes_l, perm_r, starts_r, counts_r,
         u_left, left.n_rows, min_sim_sel,
         min(max_n, right_m.n_rows),
     )
+    LAST_STATS["expand"] = _time.perf_counter() - t0
+    return pairs
 
 
 def topn_cosine_matches(
@@ -2004,6 +2066,10 @@ def topn_cosine_matches(
             left_sel=ls, right_sel=rs,
         ),
     )
+    t0 = _time.perf_counter()
     if is_self and force_symmetries:
-        return apply_self_join_fixups(pairs, left.n_rows)
-    return order_like_reference_csr(pairs)
+        pairs = apply_self_join_fixups(pairs, left.n_rows)
+    else:
+        pairs = order_like_reference_csr(pairs)
+    LAST_STATS["fixups"] = _time.perf_counter() - t0
+    return pairs

@@ -179,3 +179,23 @@ def test_take_rows_payload_matches_device_gather():
         np.asarray(h_sub).astype(np.float32),
         np.asarray(h_full[jnp.asarray(rows)]).astype(np.float32),
     )
+
+
+def test_prefetch_gather_equals_subset_build():
+    """The engine's encode-time hash prefetch (full-corpus upload + device
+    gather of unique rows) must be output-identical to the on-demand
+    subset ship it replaces (ops/matcher.prefetch_corpus_hash)."""
+    series = _corpus(300, seed=11)
+    enc = TfidfEncoder(StringGrouperConfig())
+    ell_a, _ = enc.fit_transform_pair(series, None)
+    pairs_a = M.topn_cosine_matches(ell_a, None, 0.5, 20)
+
+    enc2 = TfidfEncoder(StringGrouperConfig())
+    ell_b, _ = enc2.fit_transform_pair(series, None)
+    M.prefetch_corpus_hash(ell_b, 512)
+    assert getattr(ell_b.device_src, "_hash_prefetch", None) is not None
+    pairs_b = M.topn_cosine_matches(ell_b, None, 0.5, 20)
+
+    np.testing.assert_array_equal(pairs_a.rows, pairs_b.rows)
+    np.testing.assert_array_equal(pairs_a.cols, pairs_b.cols)
+    np.testing.assert_array_equal(pairs_a.sims, pairs_b.sims)

@@ -331,10 +331,15 @@ def path_identity_check(n: int) -> dict:
         ("mesh", "1", make_mesh(1)),
     ):
         os.environ["SG_TPU_FUSED"] = env
-        t0 = time.perf_counter()
-        sg = StringGrouper(series, min_similarity=0.8, mesh=mesh).fit()
-        frames[label] = sg.get_matches()
-        res[f"path_{label}_s"] = round(time.perf_counter() - t0, 3)
+        # Two passes per path: the first pays this n's XLA compiles (the
+        # headline corpus size doesn't share compiled shapes), the second
+        # is the steady state -- report that one so path_*_s reads as a
+        # performance figure, not compile time.
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sg = StringGrouper(series, min_similarity=0.8, mesh=mesh).fit()
+            frames[label] = sg.get_matches()
+            res[f"path_{label}_s"] = round(time.perf_counter() - t0, 3)
     os.environ.pop("SG_TPU_FUSED", None)
     try:
         pd.testing.assert_frame_equal(frames["fused"], frames["xla"])

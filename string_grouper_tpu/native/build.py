@@ -161,6 +161,13 @@ def get_scorer_lib() -> Optional[ctypes.CDLL]:
     lib.gather_rows_u8.argtypes = [p_u8, p_i64, p_i64, i64, p_i64, p_u8]
     lib.clean_group_codes.restype = None
     lib.clean_group_codes.argtypes = [p_u8, p_i64, p_u64, i64, p_i64]
+    lib.expand_dedup_phase1.restype = i64
+    lib.expand_dedup_phase1.argtypes = [
+        p_i64, p_i64, p_f64, i64, p_i64, p_i64, p_i64, i64, p_i64, i64,
+        f64, i64, p_i64,
+    ]
+    lib.expand_dedup_phase2.restype = None
+    lib.expand_dedup_phase2.argtypes = [p_i64, i64, p_i64, p_i64, p_f64]
     lib.set_num_threads.restype = None
     lib.set_num_threads.argtypes = [i64]
     lib.get_max_threads.restype = i64

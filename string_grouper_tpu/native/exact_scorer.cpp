@@ -781,3 +781,163 @@ void fill_code_rows6(
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Fused duplicate-collapse expansion (ops/matcher.py _expand_dedup):
+// unique-level pairs -> per-unique-row top-n over the group-EXPANDED
+// candidate set -> replication to every original left row.  The numpy
+// implementation (the oracle, tests/test_dedup_collapse.py) materializes
+// ~7 corpus-sized temporaries via np.repeat chains -- the most
+// page-fault-exposed host stage after assembly; this computes the same
+// output in two passes with per-thread grow-only scratch and NO
+// materialized expansion: a group's position list (perm_r, ascending) is
+// already in output order, so only runs of EQUAL similarity need a gather
+// + sort to interleave their groups' columns (the tie case the expansion
+// proof in _expand_dedup's docstring is about).
+//
+// Call sequence (GIL held): expand_dedup_phase1 -> total + true_max,
+// then expand_dedup_phase2 fills caller-allocated output arrays.
+// ===========================================================================
+
+namespace {
+
+struct ExpState {
+    std::vector<int64_t> offs;   // per-unique-row CAPACITY offsets (u+1)
+    std::vector<int64_t> cnt;    // per-unique-row selected count
+    std::vector<int64_t> cols;   // selected original col ids (at offs[r])
+    std::vector<double>  sims;   // matching similarities
+    int64_t u_left = 0;
+};
+
+ExpState g_exp;
+
+}  // namespace
+
+extern "C" {
+
+int64_t expand_dedup_phase1(
+    const int64_t* rows_u, const int64_t* cols_u, const double* sims_u,
+    int64_t n_pairs,
+    const int64_t* perm_r, const int64_t* starts_r, const int64_t* counts_r,
+    int64_t u_left,
+    const int64_t* codes_l, int64_t n_left,
+    double min_sim, int64_t max_n,
+    int64_t* out_true_max)
+{
+    ExpState& S = g_exp;
+    S.u_left = u_left;
+    // Bucket pair indices by unique left row (counting sort), tracking the
+    // per-row selection capacity min(max_n, expanded qualified count).
+    std::vector<int64_t> poffs(u_left + 1, 0);
+    for (int64_t p = 0; p < n_pairs; ++p) poffs[rows_u[p] + 1]++;
+    for (int64_t r = 0; r < u_left; ++r) poffs[r + 1] += poffs[r];
+    std::vector<int64_t> bucket(n_pairs);
+    {
+        std::vector<int64_t> fill(poffs.begin(), poffs.end() - 1);
+        for (int64_t p = 0; p < n_pairs; ++p)
+            bucket[fill[rows_u[p]]++] = p;
+    }
+    S.offs.assign(u_left + 1, 0);
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < u_left; ++r) {
+        int64_t exp_q = 0;
+        for (int64_t k = poffs[r]; k < poffs[r + 1]; ++k) {
+            const int64_t p = bucket[k];
+            const double s = sims_u[p];
+            if (s > 0.0 && s >= min_sim) exp_q += counts_r[cols_u[p]];
+        }
+        S.offs[r + 1] = exp_q < max_n ? exp_q : max_n;
+    }
+    for (int64_t r = 0; r < u_left; ++r) S.offs[r + 1] += S.offs[r];
+    S.cnt.assign(u_left, 0);
+    S.cols.resize(S.offs[u_left]);
+    S.sims.resize(S.offs[u_left]);
+
+#pragma omp parallel
+    {
+        std::vector<int64_t> pp;    // this row's qualified pair indices
+        std::vector<int64_t> tmp;   // equal-sim run column gather
+#pragma omp for schedule(dynamic, 1024)
+        for (int64_t r = 0; r < u_left; ++r) {
+            pp.clear();
+            for (int64_t k = poffs[r]; k < poffs[r + 1]; ++k) {
+                const int64_t p = bucket[k];
+                const double s = sims_u[p];
+                if (s > 0.0 && s >= min_sim) pp.push_back(p);
+            }
+            if (pp.empty()) continue;
+            // similarity descending; intra-run pair order is irrelevant
+            // (runs merge by column below), but keep it deterministic.
+            std::sort(pp.begin(), pp.end(), [&](int64_t x, int64_t y) {
+                if (sims_u[x] != sims_u[y]) return sims_u[x] > sims_u[y];
+                return cols_u[x] < cols_u[y];
+            });
+            int64_t* oc = S.cols.data() + S.offs[r];
+            double* os = S.sims.data() + S.offs[r];
+            int64_t have = 0;
+            for (size_t i = 0; i < pp.size() && have < max_n;) {
+                size_t j = i + 1;
+                while (j < pp.size() && sims_u[pp[j]] == sims_u[pp[i]]) ++j;
+                const double s = sims_u[pp[i]];
+                const int64_t room = max_n - have;
+                if (j == i + 1) {
+                    // single group: perm_r slice is already col-ascending
+                    const int64_t h = cols_u[pp[i]];
+                    const int64_t c = counts_r[h];
+                    const int64_t take = c < room ? c : room;
+                    const int64_t* src = perm_r + starts_r[h];
+                    for (int64_t k = 0; k < take; ++k) oc[have + k] = src[k];
+                    for (int64_t k = 0; k < take; ++k) os[have + k] = s;
+                    have += take;
+                } else {
+                    // tie across groups: interleave by original column
+                    tmp.clear();
+                    for (size_t t = i; t < j; ++t) {
+                        const int64_t h = cols_u[pp[t]];
+                        const int64_t* src = perm_r + starts_r[h];
+                        tmp.insert(tmp.end(), src, src + counts_r[h]);
+                    }
+                    std::sort(tmp.begin(), tmp.end());
+                    const int64_t take =
+                        (int64_t)tmp.size() < room ? (int64_t)tmp.size() : room;
+                    for (int64_t k = 0; k < take; ++k) oc[have + k] = tmp[k];
+                    for (int64_t k = 0; k < take; ++k) os[have + k] = s;
+                    have += take;
+                }
+                i = j;
+            }
+            S.cnt[r] = have;
+        }
+    }
+    int64_t true_max = 0, total = 0;
+    for (int64_t r = 0; r < u_left; ++r)
+        if (S.cnt[r] > true_max) true_max = S.cnt[r];
+    for (int64_t l = 0; l < n_left; ++l) total += S.cnt[codes_l[l]];
+    *out_true_max = true_max;
+    return total;
+}
+
+void expand_dedup_phase2(
+    const int64_t* codes_l, int64_t n_left,
+    int64_t* out_rows, int64_t* out_cols, double* out_sims)
+{
+    ExpState& S = g_exp;
+    std::vector<int64_t> offs(n_left + 1, 0);
+    for (int64_t l = 0; l < n_left; ++l)
+        offs[l + 1] = offs[l] + S.cnt[codes_l[l]];
+#pragma omp parallel for schedule(static)
+    for (int64_t l = 0; l < n_left; ++l) {
+        const int64_t r = codes_l[l];
+        const int64_t c = S.cnt[r];
+        const int64_t* sc = S.cols.data() + S.offs[r];
+        const double* ss = S.sims.data() + S.offs[r];
+        int64_t* orow = out_rows + offs[l];
+        int64_t* ocol = out_cols + offs[l];
+        double* osim = out_sims + offs[l];
+        for (int64_t k = 0; k < c; ++k) orow[k] = l;
+        std::memcpy(ocol, sc, c * sizeof(int64_t));
+        std::memcpy(osim, ss, c * sizeof(double));
+    }
+}
+
+}  // extern "C"

@@ -1879,7 +1879,42 @@ def _expand_dedup(
     the k smallest-min-position groups, at least k groups would each
     contribute a strictly smaller position -- contradiction), so the
     expanded top ``max_n_eff`` is covered.
+
+    The native two-pass kernel (exact_scorer.cpp ``expand_dedup_phase1/2``)
+    computes the identical output with no materialized expansion -- a
+    group's position list is already column-ascending, so only equal-
+    similarity runs gather + sort; the numpy chain below remains the
+    oracle (tests/test_dedup_collapse.py fuzzes them against each other).
     """
+    from ..native import get_scorer_lib
+
+    lib = get_scorer_lib()
+    if (
+        lib is not None
+        and hasattr(lib, "expand_dedup_phase1")
+        and len(pairs_u.rows)
+    ):
+        rows_c = np.ascontiguousarray(pairs_u.rows, dtype=np.int64)
+        cols_c = np.ascontiguousarray(pairs_u.cols, dtype=np.int64)
+        sims_c = np.ascontiguousarray(pairs_u.sims, dtype=np.float64)
+        codes_c = np.ascontiguousarray(codes_l, dtype=np.int64)
+        perm_c = np.ascontiguousarray(perm_r, dtype=np.int64)
+        starts_c = np.ascontiguousarray(starts_r, dtype=np.int64)
+        counts_c = np.ascontiguousarray(counts_r, dtype=np.int64)
+        tm = np.zeros(1, dtype=np.int64)
+        total = lib.expand_dedup_phase1(
+            rows_c, cols_c, sims_c, len(rows_c),
+            perm_c, starts_c, counts_c, u_left,
+            codes_c, n_left, float(min_similarity), max_n_eff, tm,
+        )
+        out_r = np.empty(total, dtype=np.int64)
+        out_c = np.empty(total, dtype=np.int64)
+        out_s = np.empty(total, dtype=np.float64)
+        lib.expand_dedup_phase2(codes_c, n_left, out_r, out_c, out_s)
+        return MatchPairs(
+            rows=out_r, cols=out_c, sims=out_s,
+            true_max_n_matches=int(tm[0]),
+        )
     hu = pairs_u.cols
     cnt = counts_r[hu]
     tot = int(cnt.sum())

@@ -277,3 +277,54 @@ def test_native_clean_grouping_partition_equals_numpy_oracle():
         newg = np.r_[True, aa[1:] != aa[:-1]]
         first_b = np.maximum.accumulate(np.where(newg, bb, -1))
         assert ((bb == first_b) | newg).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_native_expand_equals_numpy_oracle(seed, monkeypatch):
+    """The native two-pass expand_dedup kernel must equal the numpy repeat
+    chain (the oracle) entry-for-entry, including tie runs straddling the
+    top-n cut and rows with zero qualified candidates."""
+    from string_grouper_tpu.native import get_scorer_lib
+    from string_grouper_tpu.ops import matcher as M
+
+    if get_scorer_lib() is None or not hasattr(
+        get_scorer_lib(), "expand_dedup_phase1"
+    ):
+        pytest.skip("native expand unavailable")
+    rng = np.random.default_rng(seed)
+    u_left, n_groups_r = 40, 30
+    codes_l = rng.integers(0, u_left, size=120)
+    codes_l[:u_left] = np.arange(u_left)  # every unique id appears
+    codes_r_raw = rng.integers(0, n_groups_r, size=100)
+    codes_r_raw[:n_groups_r] = np.arange(n_groups_r)
+    _, _, perm_r, starts_r, counts_r = _group_positions(codes_r_raw)
+    codes_l_n, _, _, _, _ = _group_positions(codes_l)
+    n_pairs = 150
+    rows_u = rng.integers(0, u_left, size=n_pairs)
+    cols_u = rng.integers(0, n_groups_r, size=n_pairs)
+    # dedupe (row, col) and quantize sims so exact ties are common
+    keys = rows_u * n_groups_r + cols_u
+    _, idx = np.unique(keys, return_index=True)
+    rows_u, cols_u = rows_u[idx], cols_u[idx]
+    sims_u = np.round(rng.random(len(rows_u)), 1)
+    pairs_u = MatchPairs(
+        rows=rows_u.astype(np.int64), cols=cols_u.astype(np.int64),
+        sims=sims_u, true_max_n_matches=0,
+    )
+    for max_n in (1, 3, 7, 10**9):
+        native = _expand_dedup(
+            pairs_u, codes_l_n, perm_r, starts_r, counts_r,
+            u_left, len(codes_l), 0.35, max_n,
+        )
+        monkeypatch.setattr(M, "get_scorer_lib", lambda: None, raising=False)
+        import string_grouper_tpu.native as nat
+        monkeypatch.setattr(nat, "get_scorer_lib", lambda: None)
+        oracle = _expand_dedup(
+            pairs_u, codes_l_n, perm_r, starts_r, counts_r,
+            u_left, len(codes_l), 0.35, max_n,
+        )
+        monkeypatch.undo()
+        np.testing.assert_array_equal(native.rows, oracle.rows)
+        np.testing.assert_array_equal(native.cols, oracle.cols)
+        np.testing.assert_array_equal(native.sims, oracle.sims)
+        assert native.true_max_n_matches == oracle.true_max_n_matches

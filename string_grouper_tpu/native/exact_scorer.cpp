@@ -294,27 +294,59 @@ int64_t selfjoin_fixups_f64(
     int64_t n_pairs, int64_t n,
     int64_t* out_rows, int64_t* out_cols, double* out_sims)
 {
-    std::vector<int64_t> cnt(n + 1, 0);
-    for (int64_t p = 0; p < n_pairs; ++p) {
-        if (rows[p] == cols[p]) continue;
-        cnt[rows[p] + 1]++;
-        cnt[cols[p] + 1]++;
+    // Parallel counting sort: per-thread row histograms over pair slices,
+    // per-(thread, row) exclusive prefix, then each thread scatters its own
+    // slice -- no atomics, deterministic bucket order (thread slices are in
+    // pair order and the per-row dedupe below sorts by column anyway).
+    const int64_t T = omp_get_max_threads();
+    const int64_t chunk = (n_pairs + T - 1) / (T > 0 ? T : 1);
+    std::vector<int64_t> lc((size_t)T * n, 0);
+#pragma omp parallel num_threads(T)
+    {
+        const int64_t t = omp_get_thread_num();
+        int64_t* h = lc.data() + (size_t)t * n;
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min(n_pairs, lo + chunk);
+        for (int64_t p = lo; p < hi; ++p) {
+            if (rows[p] == cols[p]) continue;
+            h[rows[p]]++;
+            h[cols[p]]++;
+        }
     }
-    for (int64_t r = 0; r < n; ++r) cnt[r + 1] += cnt[r] + 1;  // +1: diagonal
-    std::vector<int64_t> offs(cnt.begin(), cnt.end() - 1);
+    std::vector<int64_t> cnt(n + 1, 0);
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n; ++r) {
+        int64_t s = 1;  // +1: diagonal
+        for (int64_t t = 0; t < T; ++t) s += lc[(size_t)t * n + r];
+        cnt[r + 1] = s;
+    }
+    for (int64_t r = 0; r < n; ++r) cnt[r + 1] += cnt[r];
     const int64_t total = cnt[n];
     std::vector<int64_t> bcol(total);
     std::vector<double> bsim(total);
+#pragma omp parallel for schedule(static)
     for (int64_t r = 0; r < n; ++r) {  // diagonal first; dedupe keeps it
-        bcol[offs[r]] = r;
-        bsim[offs[r]] = 1.0;
-        offs[r]++;
+        bcol[cnt[r]] = r;
+        bsim[cnt[r]] = 1.0;
+        int64_t run = cnt[r] + 1;
+        for (int64_t t = 0; t < T; ++t) {
+            const int64_t c = lc[(size_t)t * n + r];
+            lc[(size_t)t * n + r] = run;
+            run += c;
+        }
     }
-    for (int64_t p = 0; p < n_pairs; ++p) {
-        const int64_t r = rows[p], c = cols[p];
-        if (r == c) continue;
-        bcol[offs[r]] = c; bsim[offs[r]] = sims[p]; offs[r]++;
-        bcol[offs[c]] = r; bsim[offs[c]] = sims[p]; offs[c]++;
+#pragma omp parallel num_threads(T)
+    {
+        const int64_t t = omp_get_thread_num();
+        int64_t* h = lc.data() + (size_t)t * n;
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min(n_pairs, lo + chunk);
+        for (int64_t p = lo; p < hi; ++p) {
+            const int64_t r = rows[p], c = cols[p];
+            if (r == c) continue;
+            bcol[h[r]] = c; bsim[h[r]] = sims[p]; h[r]++;
+            bcol[h[c]] = r; bsim[h[c]] = sims[p]; h[c]++;
+        }
     }
     // Per-row: sort by col (stable on equal cols keeps the diagonal's 1.0
     // first), dedupe adjacent.  Write counts, then compact serially.
@@ -326,7 +358,7 @@ int64_t selfjoin_fixups_f64(
         std::vector<double> ts;
 #pragma omp for schedule(dynamic, 4096)
         for (int64_t r = 0; r < n; ++r) {
-            const int64_t beg = cnt[r], end = offs[r];
+            const int64_t beg = cnt[r], end = cnt[r + 1];
             const int64_t m = end - beg;
             perm.resize(m); tc.resize(m); ts.resize(m);
             for (int64_t k = 0; k < m; ++k) perm[k] = k;
@@ -345,17 +377,19 @@ int64_t selfjoin_fixups_f64(
             ucnt[r] = u;
         }
     }
-    int64_t w = 0;
+    std::vector<int64_t> oo(n + 1, 0);
+    for (int64_t r = 0; r < n; ++r) oo[r + 1] = oo[r] + ucnt[r];
+#pragma omp parallel for schedule(static)
     for (int64_t r = 0; r < n; ++r) {
         const int64_t beg = cnt[r];
-        for (int64_t k = 0; k < ucnt[r]; ++k) {
+        int64_t w = oo[r];
+        for (int64_t k = 0; k < ucnt[r]; ++k, ++w) {
             out_rows[w] = r;
             out_cols[w] = bcol[beg + k];
             out_sims[w] = bsim[beg + k];
-            ++w;
         }
     }
-    return w;
+    return oo[n];
 }
 
 // Clean-equality duplicate grouping (ops/matcher.py _clean_refined_codes):

@@ -479,3 +479,31 @@ class TestShipCompaction:
             (int(r), int(c)): s for r, c, s in zip(got.rows, got.cols, got.sims)
         }
         assert set(got_pairs) == set(expected)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_selfjoin_fixups_native_equals_numpy(seed, monkeypatch):
+    """The (thread-parallel) native counting-sort fixups kernel must equal
+    the numpy fallback: drop diagonal, mirror, force exact-1.0 diagonal,
+    (row asc, col asc) order."""
+    from string_grouper_tpu.ops.matcher import MatchPairs, apply_self_join_fixups
+
+    rng = np.random.default_rng(seed)
+    n = 200
+    m = 800
+    rows = rng.integers(0, n, size=m).astype(np.int64)
+    cols = rng.integers(0, n, size=m).astype(np.int64)
+    sims = np.round(rng.random(m), 2)
+    # symmetric scores for duplicate directions (the established invariant)
+    key = np.minimum(rows, cols) * n + np.maximum(rows, cols)
+    sims = np.round(np.sin(key.astype(np.float64)) ** 2, 3)
+    pairs = MatchPairs(rows=rows, cols=cols, sims=sims, true_max_n_matches=0)
+    nat = apply_self_join_fixups(pairs, n)
+    import string_grouper_tpu.ops.matcher as M
+    monkeypatch.setattr(M, "get_scorer_lib", lambda: None, raising=False)
+    import string_grouper_tpu.native as natmod
+    monkeypatch.setattr(natmod, "get_scorer_lib", lambda: None)
+    ora = apply_self_join_fixups(pairs, n)
+    np.testing.assert_array_equal(nat.rows, ora.rows)
+    np.testing.assert_array_equal(nat.cols, ora.cols)
+    np.testing.assert_array_equal(nat.sims, ora.sims)

@@ -498,7 +498,13 @@ def prefetch_corpus_hash(ell: EllMatrix, hash_dim: int) -> None:
     to shipping a host-side subset (``test_matcher.py::test_prefetch_
     gather_equals_subset_build``); the consumers below use the prefetched
     matrix whenever the requested dim matches.  No-op without a device
-    payload."""
+    payload.
+
+    Residency: the prefetched matrix (n x dim bf16, ~0.7 GB at 663k x 512)
+    stays on device for the payload's lifetime -- engines that keep their
+    corpus hold it so refits (update_options + re-match) skip the upload
+    entirely; re-encoding (fit/reset_data) builds a fresh payload and the
+    old matrix is released with it."""
     src = getattr(ell, "device_src", None)
     if src is None or not device_encode_enabled():
         return

@@ -508,6 +508,8 @@ def prefetch_corpus_hash(ell: EllMatrix, hash_dim: int) -> None:
     src = getattr(ell, "device_src", None)
     if src is None or not device_encode_enabled():
         return
+    if os.environ.get("SG_TPU_PREFETCH", "1") == "0":
+        return
     pf = getattr(src, "_hash_prefetch", None)
     if pf is not None and pf[0] == hash_dim:
         return

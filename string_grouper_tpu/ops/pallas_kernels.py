@@ -542,13 +542,13 @@ def p1_tri_fused(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # thr
             pl.BlockSpec((bm, d), a_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, d), b_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # fpack (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # fpack (HBM)
         ],
         out_specs=[
             pl.BlockSpec((tile, cand_c), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, cand_c), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 8), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((tile, cand_c), jnp.float32),

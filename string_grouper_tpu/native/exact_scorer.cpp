@@ -294,16 +294,20 @@ int64_t selfjoin_fixups_f64(
     int64_t n_pairs, int64_t n,
     int64_t* out_rows, int64_t* out_cols, double* out_sims)
 {
-    // Parallel counting sort: per-thread row histograms over pair slices,
-    // per-(thread, row) exclusive prefix, then each thread scatters its own
-    // slice -- no atomics, deterministic bucket order (thread slices are in
-    // pair order and the per-row dedupe below sorts by column anyway).
-    const int64_t T = omp_get_max_threads();
-    const int64_t chunk = (n_pairs + T - 1) / (T > 0 ? T : 1);
+    // Parallel counting sort: per-SLICE row histograms, per-(slice, row)
+    // exclusive prefix, then each slice scatters its own pair range -- no
+    // atomics, deterministic output (the per-row dedupe below sorts by
+    // column anyway).  Slices are distributed with `omp for`, so every
+    // slice is processed no matter how many threads the runtime actually
+    // delivers (OMP_DYNAMIC / thread limits must not drop pairs); the
+    // slice count is capped so the histogram block stays bounded on
+    // high-core hosts.
+    const int64_t T = std::max<int64_t>(
+        1, std::min<int64_t>(omp_get_max_threads(), 16));
+    const int64_t chunk = (n_pairs + T - 1) / T;
     std::vector<int64_t> lc((size_t)T * n, 0);
-#pragma omp parallel num_threads(T)
-    {
-        const int64_t t = omp_get_thread_num();
+#pragma omp parallel for schedule(static, 1)
+    for (int64_t t = 0; t < T; ++t) {
         int64_t* h = lc.data() + (size_t)t * n;
         const int64_t lo = t * chunk;
         const int64_t hi = std::min(n_pairs, lo + chunk);
@@ -335,9 +339,8 @@ int64_t selfjoin_fixups_f64(
             run += c;
         }
     }
-#pragma omp parallel num_threads(T)
-    {
-        const int64_t t = omp_get_thread_num();
+#pragma omp parallel for schedule(static, 1)
+    for (int64_t t = 0; t < T; ++t) {
         int64_t* h = lc.data() + (size_t)t * n;
         const int64_t lo = t * chunk;
         const int64_t hi = std::min(n_pairs, lo + chunk);
@@ -829,8 +832,13 @@ void fill_code_rows6(
 // + sort to interleave their groups' columns (the tie case the expansion
 // proof in _expand_dedup's docstring is about).
 //
-// Call sequence (GIL held): expand_dedup_phase1 -> total + true_max,
-// then expand_dedup_phase2 fills caller-allocated output arrays.
+// Call sequence: expand_dedup_phase1 -> total + true_max, then
+// expand_dedup_phase2 fills caller-allocated output arrays.  ctypes
+// RELEASES the GIL during both calls, so the Python caller serializes the
+// two-call window with a module-level lock (ops/matcher.py _EXPAND_LOCK);
+// the state is process-global grow-only scratch, deliberately retained
+// across fits (first-touch page faults on this VM run at 5-40 MB/s --
+// see the encoder's EncState note above).
 // ===========================================================================
 
 namespace {

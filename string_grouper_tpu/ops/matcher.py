@@ -51,6 +51,7 @@ in the configured matrix dtype.
 from __future__ import annotations
 
 import os
+import threading
 import time as _time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -485,6 +486,10 @@ def device_encode_enabled() -> bool:
 _PREFETCH_POOL = ThreadPoolExecutor(
     max_workers=1, thread_name_prefix="sg-hash-prefetch"
 )
+
+#: Serializes the native expand_dedup phase1->phase2 window (process-global
+#: scratch; ctypes releases the GIL during the calls).
+_EXPAND_LOCK = threading.Lock()
 
 
 def prefetch_corpus_hash(ell: EllMatrix, hash_dim: int) -> None:
@@ -1910,15 +1915,19 @@ def _expand_dedup(
         starts_c = np.ascontiguousarray(starts_r, dtype=np.int64)
         counts_c = np.ascontiguousarray(counts_r, dtype=np.int64)
         tm = np.zeros(1, dtype=np.int64)
-        total = lib.expand_dedup_phase1(
-            rows_c, cols_c, sims_c, len(rows_c),
-            perm_c, starts_c, counts_c, u_left,
-            codes_c, n_left, float(min_similarity), max_n_eff, tm,
-        )
-        out_r = np.empty(total, dtype=np.int64)
-        out_c = np.empty(total, dtype=np.int64)
-        out_s = np.empty(total, dtype=np.float64)
-        lib.expand_dedup_phase2(codes_c, n_left, out_r, out_c, out_s)
+        # The two native calls share process-global scratch and ctypes
+        # releases the GIL: serialize the phase1->phase2 window against
+        # concurrent fits on other threads.
+        with _EXPAND_LOCK:
+            total = lib.expand_dedup_phase1(
+                rows_c, cols_c, sims_c, len(rows_c),
+                perm_c, starts_c, counts_c, u_left,
+                codes_c, n_left, float(min_similarity), max_n_eff, tm,
+            )
+            out_r = np.empty(total, dtype=np.int64)
+            out_c = np.empty(total, dtype=np.int64)
+            out_s = np.empty(total, dtype=np.float64)
+            lib.expand_dedup_phase2(codes_c, n_left, out_r, out_c, out_s)
         return MatchPairs(
             rows=out_r, cols=out_c, sims=out_s,
             true_max_n_matches=int(tm[0]),

@@ -493,7 +493,6 @@ def test_selfjoin_fixups_native_equals_numpy(seed, monkeypatch):
     m = 800
     rows = rng.integers(0, n, size=m).astype(np.int64)
     cols = rng.integers(0, n, size=m).astype(np.int64)
-    sims = np.round(rng.random(m), 2)
     # symmetric scores for duplicate directions (the established invariant)
     key = np.minimum(rows, cols) * n + np.maximum(rows, cols)
     sims = np.round(np.sin(key.astype(np.float64)) ** 2, 3)
@@ -507,3 +506,37 @@ def test_selfjoin_fixups_native_equals_numpy(seed, monkeypatch):
     np.testing.assert_array_equal(nat.rows, ora.rows)
     np.testing.assert_array_equal(nat.cols, ora.cols)
     np.testing.assert_array_equal(nat.sims, ora.sims)
+
+
+def test_selfjoin_fixups_survives_omp_dynamic():
+    """Regression: the sliced parallel counting sort must process every
+    slice even when the OpenMP runtime delivers fewer threads than
+    omp_get_max_threads() (OMP_DYNAMIC / thread limits) -- a team-size
+    assumption here once silently dropped ~83% of self-join pairs."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np;"
+        "from string_grouper_tpu.ops.matcher import MatchPairs,"
+        " apply_self_join_fixups;"
+        "rng=np.random.default_rng(0);n=200;m=800;"
+        "rows=rng.integers(0,n,size=m).astype(np.int64);"
+        "cols=rng.integers(0,n,size=m).astype(np.int64);"
+        "key=np.minimum(rows,cols)*n+np.maximum(rows,cols);"
+        "sims=np.round(np.sin(key.astype(np.float64))**2,3);"
+        "p=MatchPairs(rows=rows,cols=cols,sims=sims,true_max_n_matches=0);"
+        "print(len(apply_self_join_fixups(p,n).rows))"
+    )
+    outs = set()
+    for env_extra in ({}, {"OMP_DYNAMIC": "true", "OMP_NUM_THREADS": "64"},
+                      {"OMP_NUM_THREADS": "1"}):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", **env_extra)
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env=env, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.add(r.stdout.strip().splitlines()[-1])
+    assert len(outs) == 1, outs

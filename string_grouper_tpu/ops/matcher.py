@@ -1221,7 +1221,13 @@ def _phase1_single(
                 wire, ub_last, cols2, m, m_p, budget, n_right_p, n_right
             )
 
-        return finish if defer else finish()
+        if defer:
+            # Prefetch the download on the worker thread (it drains the
+            # segment downloads first -- same pool, same order the driver
+            # consumes), so draining an escalation job costs unpack time,
+            # not a tunnel round-trip.
+            return _DL_POOL.submit(finish).result
+        return finish()
 
     n_tiles = n_right_p // tile
     return run_stream, run_rows, n_right_p, tile, n_tiles

@@ -889,6 +889,9 @@ def _split_wire(wire_h: np.ndarray, has_flat: bool, budget: int,
 # link and the host cores are different resources, and the streamed scan
 # otherwise alternates between them serially.
 _DL_POOL = ThreadPoolExecutor(max_workers=1)
+#: Scoring worker: per-segment exact rescore + selection run here so the
+#: stream consumer goes straight back to waiting on the next download.
+_SCORE_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="sg-score")
 
 
 def _fetch_segment(wire, has_flat, mc, budget, n_right_p, seg_rows):
@@ -1452,6 +1455,46 @@ def adaptive_topn(
                     continue
                 pending.append(dispatch_job(g, c_big, kt_use, counts, 1))
 
+        def score_task(r_g, cl_g, base, m_g):
+            """Exact rescore + per-segment selection -- native calls that
+            release the GIL, run on the scoring worker so the consumer
+            thread goes straight back to blocking on the next segment's
+            download (wire/device wait and host scoring overlap)."""
+            t0 = _time.perf_counter()
+            sims_g = rescore(r_g, cl_g)
+            t_res = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            sel = _select_topn(
+                r_g - base, cl_g, sims_g, m_g, min_similarity, max_n_eff
+            )
+            return sel, len(r_g), t_res, _time.perf_counter() - t0
+
+        def resolve(fut, base, m_g, bound_g):
+            """Fold one finished scoring task into the driver state (main
+            thread: escalation dispatch and stats stay unsynchronized)."""
+            nonlocal esc_cnt
+            (r_s, c_s, s_s, kq_g, rc_g), n_p, t_res, t_sel = fut.result()
+            stats["rescore"] += t_res
+            stats["select"] += t_sel
+            stats["pairs_scored"] += n_p
+            sel_r.append(r_s + base)
+            sel_c.append(c_s)
+            sel_s.append(s_s)
+            kept_q[base : base + m_g] = kq_g
+            row_cut[base : base + m_g] = rc_g
+            if not stream_escalate:
+                return
+            idx_l = np.flatnonzero(unsafe_rows(bound_g, kq_g, rc_g))
+            if not len(idx_l):
+                return
+            esc_buf.append(idx_l.astype(np.int64) + base)
+            esc_cnt += len(idx_l)
+            if esc_cnt >= _ESC_MIN_JOB_ROWS:
+                flush_esc()
+
+        from collections import deque
+
+        inflight: deque = deque()
         stream = iter(phase1_run(effective_threshold(min_similarity), c, kt))
         while True:
             t0 = _time.perf_counter()
@@ -1460,33 +1503,23 @@ def adaptive_topn(
             if item is None:
                 break
             r_g, cl_g, base, m_g, bound_g, counts_g, tmax_g, mc_g = item
-            t0 = _time.perf_counter()
-            sims_g = rescore(r_g, cl_g)
-            stats["rescore"] += _time.perf_counter() - t0
-            stats["pairs_scored"] += len(r_g)
             counts[base : base + m_g] = counts_g
             tmax[base : base + m_g] = tmax_g
             bound[base : base + m_g] = bound_g
             max_cnt = max(max_cnt, mc_g)
-            t0 = _time.perf_counter()
-            r_s, c_s, s_s, kq_g, rc_g = _select_topn(
-                r_g - base, cl_g, sims_g, m_g, min_similarity, max_n_eff
-            )
-            stats["select"] += _time.perf_counter() - t0
-            sel_r.append(r_s + base)
-            sel_c.append(c_s)
-            sel_s.append(s_s)
-            kept_q[base : base + m_g] = kq_g
-            row_cut[base : base + m_g] = rc_g
-            if not stream_escalate:
-                continue
-            idx_l = np.flatnonzero(unsafe_rows(bound_g, kq_g, rc_g))
-            if not len(idx_l):
-                continue
-            esc_buf.append(idx_l.astype(np.int64) + base)
-            esc_cnt += len(idx_l)
-            if esc_cnt >= _ESC_MIN_JOB_ROWS:
-                flush_esc()
+            inflight.append((
+                _SCORE_POOL.submit(score_task, r_g, cl_g, base, m_g),
+                base, m_g, bound_g,
+            ))
+            # Fold finished tasks in order; cap the queue at two segments so
+            # escalation detection (and its overlap with the still-running
+            # scan) never lags the stream by more than one segment.
+            while inflight and inflight[0][0].done():
+                resolve(*inflight.popleft())
+            if len(inflight) > 2:
+                resolve(*inflight.popleft())
+        while inflight:
+            resolve(*inflight.popleft())
         flush_esc()
         logger.debug(
             "phase1 done: max_cnt=%d counts.max=%d streamed_esc_jobs=%d",

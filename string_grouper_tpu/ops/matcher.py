@@ -141,13 +141,19 @@ def _pad_width(ell: EllMatrix, width: int) -> EllMatrix:
 
 def effective_threshold(min_similarity: float) -> np.float32:
     """Device-side UB threshold with reduced-precision slack (-inf when no
-    threshold)."""
+    threshold).  A min_similarity so small that the slack pushes the
+    device threshold to <= 0 is ALSO -inf: a non-positive device threshold
+    qualifies every column anyway, and the thresholdless path (full-width
+    extraction, no drop bounds) handles that shape gracefully where the
+    kt=2 path would escalate the whole corpus at full width."""
     if min_similarity > 0:
-        return np.float32(min_similarity * (1 - _UB_REL_SLACK) - _UB_ABS_SLACK)
+        thr = min_similarity * (1 - _UB_REL_SLACK) - _UB_ABS_SLACK
+        if thr > 0:
+            return np.float32(thr)
     return np.float32(-np.inf)
 
 
-def initial_k_tile(min_similarity: float, n_right: int, tile: int, c0: int) -> int:
+def initial_k_tile(min_similarity: float, tile: int, c0: int) -> int:
     """Per-tile extraction width.  Small and constant: rows whose tiles
     overflow it are detected via the device drop bound and re-matched
     individually (adaptive_topn), so the global passes stay cheap.
@@ -156,13 +162,13 @@ def initial_k_tile(min_similarity: float, n_right: int, tile: int, c0: int) -> i
     body (no iterated argmax/mask passes); measured at 663k it cuts the
     phase-1 scan by ~30%% at the cost of ~3x more escalated rows (2.8%% of
     the corpus), which the per-row escalation absorbs."""
-    if min_similarity <= 0:
+    if effective_threshold(min_similarity) <= 0:  # thresholdless shape
         return min(tile, c0)
     return 2
 
 
 def initial_cand_c(min_similarity: float, max_n: int, n_right: int, cap: int) -> int:
-    if min_similarity > 0:
+    if effective_threshold(min_similarity) > 0:
         return min(cap, max(64, _next_pow2(min(max_n, n_right) + 8)))
     return cap
 
@@ -417,6 +423,25 @@ def _code_width_tiers(lens: np.ndarray, ngram: int, quantum: int):
     return int(ks[best] * q), full_w
 
 
+def _tiered_rows(narrow: np.ndarray, build_tier) -> jax.Array:
+    """Shared two-tier upload shape: order rows narrow-first, build each
+    tier's device rows with ``build_tier(order_slice, wide)``, concatenate,
+    and gather back to the original row order on device.  Both upload
+    paths (byte-payload codes and packed slots) use this -- most corpora
+    have a long-tail width distribution, so shipping the narrow majority
+    at a narrow width is most of the wire saving."""
+    n = len(narrow)
+    order = np.argsort(~narrow, kind="stable").astype(np.int64)
+    k = int(narrow.sum())
+    parts = [build_tier(order[:k], False)]
+    if k < n:
+        parts.append(build_tier(order[k:], True))
+    h_perm = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n, dtype=np.int64)
+    return h_perm[jnp.asarray(inv)]
+
+
 def _build_hash_from_codes(src, n_pad: int, dim: int,
                            min_rows: int = 10000) -> jax.Array:
     """(n_pad, dim) bf16 projection from a DeviceEncodeSrc payload: the
@@ -450,28 +475,16 @@ def _build_hash_from_codes(src, n_pad: int, dim: int,
             codes, jnp.asarray(src.inv_norm), table, idf, width=pw, **args
         )
     else:
-        order = np.argsort(~narrow, kind="stable").astype(np.int32)
-        k = int(narrow.sum())
-        inv_s = src.inv_norm[order]
-        codes_n, pw_n = ship(order[:k], narrow_w)
-        parts = [
-            _device_hash_codes(
-                codes_n, jnp.asarray(inv_s[:k]), table, idf, width=pw_n,
-                **args,
+        def build_tier(order_slice, wide):
+            codes_t, pw = ship(
+                order_slice.astype(np.int32), full_w if wide else narrow_w
             )
-        ]
-        if k < n:
-            codes_w, pw_w = ship(order[k:], full_w)
-            parts.append(
-                _device_hash_codes(
-                    codes_w, jnp.asarray(inv_s[k:]), table, idf,
-                    width=pw_w, **args,
-                )
+            return _device_hash_codes(
+                codes_t, jnp.asarray(src.inv_norm[order_slice]), table, idf,
+                width=pw, **args,
             )
-        h_perm = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-        inv = np.empty(n, dtype=np.int32)
-        inv[order] = np.arange(n, dtype=np.int32)
-        h = h_perm[jnp.asarray(inv)]
+
+        h = _tiered_rows(narrow, build_tier)
     if n_pad > n:
         h = jnp.pad(h, ((0, n_pad - n), (0, 0)))
     return h
@@ -567,21 +580,14 @@ def build_hash_matrix(
     if ell.width <= narrow_w + 8 or frac < 0.5 or n < min_rows:
         h = _device_hash(pack_hash_inputs(ell, n, dim), dim)
     else:
-        order = np.argsort(~narrow, kind="stable")
-        k = int(narrow.sum())
-        p_narrow = _pack_rows_ordered(
-            ell.ids, ell.vals64, order[:k], narrow_w, dim
-        )
-        parts = [_device_hash(p_narrow, dim)]
-        if k < n:
-            p_wide = _pack_rows_ordered(
-                ell.ids, ell.vals64, order[k:], ell.width, dim
+        def build_tier(order_slice, wide):
+            packed = _pack_rows_ordered(
+                ell.ids, ell.vals64, order_slice,
+                ell.width if wide else narrow_w, dim,
             )
-            parts.append(_device_hash(p_wide, dim))
-        h_perm = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-        inv = np.empty(n, dtype=np.int32)
-        inv[order] = np.arange(n, dtype=np.int32)
-        h = h_perm[jnp.asarray(inv)]
+            return _device_hash(packed, dim)
+
+        h = _tiered_rows(narrow, build_tier)
     if n_pad > n:
         h = jnp.pad(h, ((0, n_pad - n), (0, 0)))
     return h
@@ -894,11 +900,12 @@ _DL_POOL = ThreadPoolExecutor(max_workers=1)
 _SCORE_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="sg-score")
 
 
-def _fetch_segment(wire, has_flat, mc, budget, n_right_p, seg_rows):
+def _fetch_segment(wire, cols2, has_flat, mc, budget, n_right_p, seg_rows):
     """Download one segment's single-wire transfer (metadata + compacted
-    candidate stream) -- runs on the prefetch worker thread.  A ``None``
-    stream means the segment overflowed the budget and the consumer must
-    fall back to the full candidate matrix."""
+    candidate stream) -- runs on the prefetch worker thread.  When the
+    segment overflowed the compaction budget (or never compacted), the
+    full candidate matrix downloads HERE too, so even the expensive
+    segments stay on the worker and overlap the consumer's pipeline."""
     wire_h = np.asarray(wire)
     meta_w, flat_w = _split_wire(wire_h, has_flat, budget, n_right_p)
     meta_h = meta_w.reshape(-1, seg_rows)
@@ -908,7 +915,8 @@ def _fetch_segment(wire, has_flat, mc, budget, n_right_p, seg_rows):
         total = int(meta_h[-1].sum())  # n_i is packed last
         if total <= budget:
             flat_h = _download_cols(flat_w, total, n_right_p)
-    return meta_h, flat_h, mc_i
+    cols_h = None if flat_h is not None else np.asarray(cols2)
+    return meta_h, flat_h, cols_h, mc_i
 
 
 def _consume_stream(futs, budget, n_right_p, seg_rows, n_left, n_right):
@@ -919,8 +927,8 @@ def _consume_stream(futs, budget, n_right_p, seg_rows, n_left, n_right):
     the worker does not keep pulling dead segments over the slow link."""
     fetches = [
         _DL_POOL.submit(
-            _fetch_segment, wire, has_flat, max_cnt, budget, n_right_p,
-            seg_rows,
+            _fetch_segment, wire, cols2, has_flat, max_cnt, budget,
+            n_right_p, seg_rows,
         )
         for (wire, cols2, has_flat, max_cnt) in futs
     ]
@@ -930,7 +938,7 @@ def _consume_stream(futs, budget, n_right_p, seg_rows, n_left, n_right):
             rows_here = max(0, min(seg_rows, n_left - base))
             if rows_here == 0:
                 continue
-            meta_h, flat_h, mc = fetches[g].result()
+            meta_h, flat_h, cols_pref, mc = fetches[g].result()
             counts_h = meta_h[0][:rows_here]
             tmax_h = meta_h[1][:rows_here]
             bound_h = meta_h[2].view(np.float32)[:rows_here]
@@ -947,7 +955,7 @@ def _consume_stream(futs, budget, n_right_p, seg_rows, n_left, n_right):
                     base, rows_here, bound_h, counts_h, tmax_h, mc,
                 )
                 continue
-            cols_h = np.asarray(cols2)[:rows_here]
+            cols_h = cols_pref[:rows_here]
             r_g, c_g = _pairs_from_ship(
                 cols_h, n_right,
                 row_ids=base + np.arange(rows_here, dtype=np.int64),
@@ -1232,8 +1240,7 @@ def _phase1_single(
             return _DL_POOL.submit(finish).result
         return finish()
 
-    n_tiles = n_right_p // tile
-    return run_stream, run_rows, n_right_p, tile, n_tiles
+    return run_stream, run_rows, n_right_p, tile
 
 
 def _pairs_from_ship(cols: np.ndarray, n_right: int, row_ids=None):
@@ -1312,7 +1319,6 @@ def adaptive_topn(
     *,
     c_cap: int,
     kt_cap: int,
-    n_tiles: int,
     c0: int,
     kt0: int,
     phase1_run_rows=None,
@@ -1356,12 +1362,16 @@ def adaptive_topn(
         min_similarity = float(np.float32(min_similarity))
     qual_low = min_similarity if min_similarity > 0 else 0.0
     c, kt = c0, kt0
-    LAST_STATS.clear()
-    stats = LAST_STATS
-    stats.update(
+    # Publish a FRESH stats dict (rebinding, not clearing): a concurrent
+    # fit on another thread gets its own dict instead of a KeyError from a
+    # mid-run clear; consumers (engine.py) import LAST_STATS late, after
+    # their fit returns.
+    global LAST_STATS
+    stats = dict(
         p1_wait=0.0, rescore=0.0, select=0.0, esc_wait=0.0,
         rounds=0, pairs_scored=0,
     )
+    LAST_STATS = stats
 
     def split_jobs(idx, tmax, counts, c):
         """Exact-width kt-bucket split of unsafe rows (see the escalation
@@ -1888,9 +1898,19 @@ def _group_positions(codes: np.ndarray):
     group)."""
     codes = np.ascontiguousarray(codes, dtype=np.int64)
     n = len(codes)
-    u = int(codes.max()) + 1 if n else 0
-    perm = np.argsort(codes, kind="stable")
+    if n == 0:
+        e = np.zeros(0, dtype=np.int64)
+        return codes, e.astype(np.int32), e, e, e
+    u = int(codes.max()) + 1
     counts = np.bincount(codes, minlength=u)
+    if n and (counts == 0).any():
+        # Non-dense coding (unused group ids, e.g. from a filtered
+        # factorize): densify first -- the relabel below assumes every id
+        # in [0, max] occurs, and would otherwise recurse forever.
+        codes = (np.cumsum(counts > 0) - 1)[codes]
+        u = int(codes.max()) + 1
+        counts = counts[counts > 0]
+    perm = np.argsort(codes, kind="stable")
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     first = perm[starts]
     if not (first[1:] > first[:-1]).all():
@@ -2018,7 +2038,7 @@ def match_with_collapse(
 
     ``phase1_factory(left_sel, right_sel)`` builds the phase-1 closures for
     the (possibly row-selected) matrices and returns
-    ``(run, run_rows, c_cap, tile, n_tiles)``.
+    ``(run, run_rows, c_cap, tile)``.
 
     When the byte-level payload is present, its per-row hashes provide a
     (strictly coarser, byte-verified) duplicate coding by CLEANED content,
@@ -2042,8 +2062,14 @@ def match_with_collapse(
                 right_codes = refined_r
     dedup = (
         left_codes is not None
-        and (is_self or right_codes is not None)
         and len(left_codes) == left.n_rows
+        and (
+            is_self
+            or (
+                right_codes is not None
+                and len(right_codes) == right_m.n_rows
+            )
+        )
     )
     if dedup:
         codes_l, first_l, perm_l, starts_l, counts_l = _group_positions(
@@ -2065,26 +2091,26 @@ def match_with_collapse(
 
     if not dedup:
         t0 = _time.perf_counter()
-        run, run_rows, c_cap, tile, n_tiles = phase1_factory(None, None)
+        run, run_rows, c_cap, tile = phase1_factory(None, None)
         setup_s = _time.perf_counter() - t0
         c0 = initial_cand_c(min_similarity, max_n, right_m.n_rows, c_cap)
-        kt0 = initial_k_tile(min_similarity, right_m.n_rows, tile, c0)
+        kt0 = initial_k_tile(min_similarity, tile, c0)
         pairs = adaptive_topn(
             run, left, right_m, min_similarity, max_n,
-            c_cap=c_cap, kt_cap=tile, n_tiles=n_tiles, c0=c0, kt0=kt0,
+            c_cap=c_cap, kt_cap=tile, c0=c0, kt0=kt0,
             phase1_run_rows=run_rows, score_dtype=score_dtype,
         )
         LAST_STATS["collapse"] = collapse_s
         LAST_STATS["p1_setup"] = setup_s
         return pairs
     t0 = _time.perf_counter()
-    run, run_rows, c_cap, tile, n_tiles = phase1_factory(first_l, first_r)
+    run, run_rows, c_cap, tile = phase1_factory(first_l, first_r)
     setup_s = _time.perf_counter() - t0
     c0 = initial_cand_c(min_similarity, max_n, u_right, c_cap)
-    kt0 = initial_k_tile(min_similarity, u_right, tile, c0)
+    kt0 = initial_k_tile(min_similarity, tile, c0)
     pairs_u = adaptive_topn(
         run, left, right_m, min_similarity, max_n,
-        c_cap=c_cap, kt_cap=tile, n_tiles=n_tiles, c0=c0, kt0=kt0,
+        c_cap=c_cap, kt_cap=tile, c0=c0, kt0=kt0,
         phase1_run_rows=run_rows, score_dtype=score_dtype,
         left_map=first_l.astype(np.int64),
         right_map=first_r.astype(np.int64),
@@ -2142,6 +2168,14 @@ def topn_cosine_matches(
     del topn_slack
     is_self = right is None
     right_m = left if is_self else right
+    if left.n_rows == 0 or right_m.n_rows == 0:
+        # Engine callers never get here (the encoder raises sklearn's
+        # "empty vocabulary" on an empty corpus, reference behavior);
+        # direct callers get an empty matches list instead of the segment
+        # arithmetic tripping over zero-row matrices.
+        z = np.zeros(0, dtype=np.int64)
+        return MatchPairs(rows=z, cols=z, sims=np.zeros(0),
+                          true_max_n_matches=0)
     # Equalize ELL widths so host scoring sees consistent padding
     # (multiple of 8 for shape bucketing; pow2 would waste upload bytes).
     width = -(-max(left.width, right_m.width, 8) // 8) * 8

@@ -56,7 +56,6 @@ from ..ops.matcher import (
     _pad_width,
     _pack_meta,
     _ship_cols,
-    adaptive_topn,
     apply_self_join_fixups,
     build_hash_matrix,
     fused_enabled,
@@ -476,7 +475,6 @@ def _phase1_distributed(
     tile = min(right_tile, _next_pow2(max(-(-n_right // mp), 8)))
     n_loc = -(-n_right // (mp * tile)) * tile
     n_right_p = n_loc * mp
-    n_tiles_loc = n_loc // tile
     if right_sel is None:
         b_hash = build_hash_matrix(right, n_right_p, hash_dim)
     else:
@@ -598,7 +596,7 @@ def _phase1_distributed(
 
         return finish if defer else finish()
 
-    return run_stream, run_rows, n_loc, tile, n_tiles_loc
+    return run_stream, run_rows, n_loc, tile
 
 
 def distributed_topn_cosine_matches(

@@ -328,3 +328,71 @@ def test_native_expand_equals_numpy_oracle(seed, monkeypatch):
         np.testing.assert_array_equal(native.cols, oracle.cols)
         np.testing.assert_array_equal(native.sims, oracle.sims)
         assert native.true_max_n_matches == oracle.true_max_n_matches
+
+
+def test_non_dense_coding_normalizes():
+    """Review regression: a coding with unused group ids (e.g. from a
+    filtered factorize) must densify instead of recursing forever."""
+    codes, first, perm, starts, counts = _group_positions(
+        np.array([0, 5, 5, 9, 0], dtype=np.int64)
+    )
+    np.testing.assert_array_equal(codes, [0, 1, 1, 2, 0])
+    np.testing.assert_array_equal(first, [0, 1, 3])
+    np.testing.assert_array_equal(counts, [2, 2, 1])
+    # and through the public API
+    strings = ["alpha corp", "beta inc", "beta inc", "gamma llc", "alpha corp"]
+    enc = TfidfEncoder(StringGrouperConfig())
+    m, _ = enc.fit_transform_pair(strings, None)
+    sparse_codes = np.array([0, 5, 5, 9, 0], dtype=np.int64)
+    plain = topn_cosine_matches(m, None, 0.5, 20)
+    collapsed = topn_cosine_matches(m, None, 0.5, 20, left_codes=sparse_codes)
+    _assert_identical(plain, collapsed)
+
+
+def test_mismatched_right_codes_length_ignored():
+    """A right_codes array shorter than the right matrix must NOT engage
+    the collapse layer (it would silently drop matches to uncoded rows)."""
+    left = ["alpha corp", "beta inc"]
+    right = ["alpha corp", "beta inc", "beta inc", "alpha corp"]
+    enc = TfidfEncoder(StringGrouperConfig())
+    m, d = enc.fit_transform_pair(left, right)
+    plain = topn_cosine_matches(m, d, 0.5, 20)
+    bad_codes = np.array([0, 1], dtype=np.int64)  # too short
+    guarded = topn_cosine_matches(
+        m, d, 0.5, 20,
+        left_codes=np.arange(2, dtype=np.int64), right_codes=bad_codes,
+    )
+    _assert_identical(plain, guarded)
+
+
+def test_empty_matrix_returns_empty():
+    """Zero-row inputs to the matcher return an empty matches list (the
+    engine path raises sklearn's empty-vocabulary error before this)."""
+    enc = TfidfEncoder(StringGrouperConfig())
+    m, _ = enc.fit_transform_pair(["alpha corp", "beta inc"], None)
+    import dataclasses
+    empty = dataclasses.replace(
+        m, ids=m.ids[:0], vals64=m.vals64[:0], device_src=None
+    )
+    out = topn_cosine_matches(empty, None, 0.8, 20)
+    assert len(out.rows) == 0 and out.true_max_n_matches == 0
+    out2 = topn_cosine_matches(m, empty, 0.8, 20)
+    assert len(out2.rows) == 0
+
+
+def test_tiny_min_similarity_takes_thresholdless_path():
+    """min_similarity small enough that the UB slack would push the device
+    threshold to <= 0 must run the graceful thresholdless shape (not a
+    corpus-wide full-width escalation) and still apply the exact host
+    threshold."""
+    from string_grouper_tpu.ops.matcher import effective_threshold
+
+    assert np.isneginf(effective_threshold(1e-4))
+    assert effective_threshold(0.01) > 0
+    strings = ["alpha corp", "beta inc", "alpha corporation", "beta inc"]
+    enc = TfidfEncoder(StringGrouperConfig())
+    m, _ = enc.fit_transform_pair(strings, None)
+    tiny = topn_cosine_matches(m, None, 1e-4, 20)
+    loose = topn_cosine_matches(m, None, 1e-12, 20)
+    assert (tiny.sims >= 1e-4).all()
+    assert len(tiny.rows) == len(loose.rows)  # same qualifying pairs here

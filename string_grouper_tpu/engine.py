@@ -319,9 +319,11 @@ class StringGrouper:
                     left_codes=left_codes,
                     right_codes=right_codes,
                 )
-        from .ops.matcher import LAST_STATS
+        stats_src = getattr(pairs, "stats", None)
+        if stats_src is None:  # path without attachment (e.g. multihost)
+            from .ops.matcher import LAST_STATS as stats_src
 
-        for k, v in LAST_STATS.items():
+        for k, v in stats_src.items():
             self.timings.seconds[f"match.{k}"] = (
                 round(v, 3) if isinstance(v, float) else v
             )

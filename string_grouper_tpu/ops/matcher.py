@@ -70,10 +70,16 @@ import logging
 
 logger = logging.getLogger("string_grouper_tpu")
 
-#: wall-time / volume breakdown of the most recent adaptive_topn call
-#: (filled in place; surfaced as ``StringGrouper.timings`` sub-phases and in
-#: bench.py's phases_s output for per-round perf accounting)
+#: wall-time / volume breakdown of the most recent matcher fit in this
+#: process -- a convenience MIRROR of ``MatchPairs.stats`` (rebound per
+#: fit; under concurrent fits read ``pairs.stats`` instead).  Surfaced as
+#: ``StringGrouper.timings`` sub-phases and in bench.py's phases_s output.
 LAST_STATS: dict = {}
+
+
+def _publish_stats(stats: dict) -> None:
+    global LAST_STATS
+    LAST_STATS = stats
 
 # Relative slack applied to the phase-1 upper-bound threshold to absorb
 # reduced-precision arithmetic (bf16 matmul inputs, uint16 value
@@ -116,12 +122,18 @@ def fused_enabled() -> bool:
 @dataclass
 class MatchPairs:
     """Long-format match list (positional indices), reference
-    ``_matches_list`` equivalent (string_grouper.py:755-763)."""
+    ``_matches_list`` equivalent (string_grouper.py:755-763).
+
+    ``stats``, when attached by the matcher entry points, is THIS fit's
+    wall-time/volume breakdown -- the race-free way to read per-fit stats
+    (the module-global ``LAST_STATS`` mirror is rebound per fit and can
+    belong to another thread's fit under concurrency)."""
 
     rows: np.ndarray  # int64
     cols: np.ndarray  # int64
     sims: np.ndarray  # float64
     true_max_n_matches: int
+    stats: Optional[dict] = None
 
 
 def _next_pow2(x: int) -> int:
@@ -898,6 +910,10 @@ _DL_POOL = ThreadPoolExecutor(max_workers=1)
 #: Scoring worker: per-segment exact rescore + selection run here so the
 #: stream consumer goes straight back to waiting on the next download.
 _SCORE_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="sg-score")
+#: Escalation downloads get their OWN worker: their device work queues
+#: behind every remaining segment scan, so fetching them on the segment
+#: pool would stall ready segment downloads behind the full device queue.
+_ESC_DL_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="sg-esc-dl")
 
 
 def _fetch_segment(wire, cols2, has_flat, mc, budget, n_right_p, seg_rows):
@@ -925,20 +941,31 @@ def _consume_stream(futs, budget, n_right_p, seg_rows, n_left, n_right):
     thread, then yield per-segment candidate pairs in order.  Abandoning
     the generator (consumer error) cancels not-yet-started prefetches so
     the worker does not keep pulling dead segments over the slow link."""
-    fetches = [
-        _DL_POOL.submit(
+    # Bounded prefetch depth: downloaded segments park in their Future
+    # until consumed, so an unbounded submit of every segment would hold
+    # up to n_seg full candidate matrices on the host at once in the
+    # uncompacted shapes.  Three in flight keeps the wire saturated (one
+    # downloading, two ready) with bounded peak RSS.
+    depth = 3
+
+    def submit(g):
+        wire, cols2, has_flat, max_cnt = futs[g]
+        return _DL_POOL.submit(
             _fetch_segment, wire, cols2, has_flat, max_cnt, budget,
             n_right_p, seg_rows,
         )
-        for (wire, cols2, has_flat, max_cnt) in futs
-    ]
+
+    fetches = {g: submit(g) for g in range(min(depth, len(futs)))}
     try:
         for g, (wire, cols2, has_flat, max_cnt) in enumerate(futs):
+            if g + depth < len(futs):
+                fetches[g + depth] = submit(g + depth)
             base = g * seg_rows
             rows_here = max(0, min(seg_rows, n_left - base))
             if rows_here == 0:
+                fetches.pop(g).result()  # still drain (keeps pool ordered)
                 continue
-            meta_h, flat_h, cols_pref, mc = fetches[g].result()
+            meta_h, flat_h, cols_pref, mc = fetches.pop(g).result()
             counts_h = meta_h[0][:rows_here]
             tmax_h = meta_h[1][:rows_here]
             bound_h = meta_h[2].view(np.float32)[:rows_here]
@@ -962,7 +989,7 @@ def _consume_stream(futs, budget, n_right_p, seg_rows, n_left, n_right):
             )
             yield (r_g, c_g, base, rows_here, bound_h, counts_h, tmax_h, mc)
     finally:
-        for f in fetches:
+        for f in fetches.values():
             f.cancel()
 
 
@@ -1233,11 +1260,11 @@ def _phase1_single(
             )
 
         if defer:
-            # Prefetch the download on the worker thread (it drains the
-            # segment downloads first -- same pool, same order the driver
-            # consumes), so draining an escalation job costs unpack time,
-            # not a tunnel round-trip.
-            return _DL_POOL.submit(finish).result
+            # Prefetch the download on the escalation worker (its device
+            # work runs behind the remaining segment scans, so it gets its
+            # own thread -- see _ESC_DL_POOL), so draining a job costs
+            # unpack time, not a tunnel round-trip.
+            return _ESC_DL_POOL.submit(finish).result
         return finish()
 
     return run_stream, run_rows, n_right_p, tile
@@ -1323,6 +1350,7 @@ def adaptive_topn(
     kt0: int,
     phase1_run_rows=None,
     score_dtype=np.float64,
+    stats: Optional[dict] = None,
     left_map: Optional[np.ndarray] = None,
     right_map: Optional[np.ndarray] = None,
     n_left: Optional[int] = None,
@@ -1362,16 +1390,15 @@ def adaptive_topn(
         min_similarity = float(np.float32(min_similarity))
     qual_low = min_similarity if min_similarity > 0 else 0.0
     c, kt = c0, kt0
-    # Publish a FRESH stats dict (rebinding, not clearing): a concurrent
-    # fit on another thread gets its own dict instead of a KeyError from a
-    # mid-run clear; consumers (engine.py) import LAST_STATS late, after
-    # their fit returns.
-    global LAST_STATS
-    stats = dict(
+    # Per-fit stats dict (the caller's, when provided): concurrent fits
+    # each accumulate into their own dict; the module-global LAST_STATS
+    # mirror is rebound once per fit by the entry points.
+    if stats is None:
+        stats = {}
+    stats.update(
         p1_wait=0.0, rescore=0.0, select=0.0, esc_wait=0.0,
         rounds=0, pairs_scored=0,
     )
-    LAST_STATS = stats
 
     def split_jobs(idx, tmax, counts, c):
         """Exact-width kt-bucket split of unsafe rows (see the escalation
@@ -1903,7 +1930,7 @@ def _group_positions(codes: np.ndarray):
         return codes, e.astype(np.int32), e, e, e
     u = int(codes.max()) + 1
     counts = np.bincount(codes, minlength=u)
-    if n and (counts == 0).any():
+    if (counts == 0).any():
         # Non-dense coding (unused group ids, e.g. from a filtered
         # factorize): densify first -- the relabel below assumes every id
         # in [0, max] occurs, and would otherwise recurse forever.
@@ -2047,6 +2074,15 @@ def match_with_collapse(
     unique rows and the result expands back exactly (``_expand_dedup``);
     otherwise the plain whole-corpus pass runs.
     """
+    if left.n_rows == 0 or right_m.n_rows == 0:
+        # Shared guard for BOTH the single-chip and mesh entries (engine
+        # callers never get here: the encoder raises sklearn's "empty
+        # vocabulary" on an empty corpus, reference behavior); direct
+        # callers get an empty matches list instead of the segment
+        # arithmetic tripping over zero-row matrices.
+        z = np.zeros(0, dtype=np.int64)
+        return MatchPairs(rows=z, cols=z, sims=np.zeros(0),
+                          true_max_n_matches=0, stats={})
     t_collapse0 = _time.perf_counter()
     if device_encode_enabled():
         src_l = getattr(left, "device_src", None)
@@ -2071,6 +2107,7 @@ def match_with_collapse(
             )
         )
     )
+    stats: dict = {}
     if dedup:
         codes_l, first_l, perm_l, starts_l, counts_l = _group_positions(
             left_codes
@@ -2099,9 +2136,12 @@ def match_with_collapse(
             run, left, right_m, min_similarity, max_n,
             c_cap=c_cap, kt_cap=tile, c0=c0, kt0=kt0,
             phase1_run_rows=run_rows, score_dtype=score_dtype,
+            stats=stats,
         )
-        LAST_STATS["collapse"] = collapse_s
-        LAST_STATS["p1_setup"] = setup_s
+        stats["collapse"] = collapse_s
+        stats["p1_setup"] = setup_s
+        pairs.stats = stats
+        _publish_stats(stats)
         return pairs
     t0 = _time.perf_counter()
     run, run_rows, c_cap, tile = phase1_factory(first_l, first_r)
@@ -2111,7 +2151,7 @@ def match_with_collapse(
     pairs_u = adaptive_topn(
         run, left, right_m, min_similarity, max_n,
         c_cap=c_cap, kt_cap=tile, c0=c0, kt0=kt0,
-        phase1_run_rows=run_rows, score_dtype=score_dtype,
+        phase1_run_rows=run_rows, score_dtype=score_dtype, stats=stats,
         left_map=first_l.astype(np.int64),
         right_map=first_r.astype(np.int64),
         n_left=u_left, n_right=u_right,
@@ -2121,15 +2161,17 @@ def match_with_collapse(
         if np.dtype(score_dtype) == np.float32
         else min_similarity
     )
-    LAST_STATS["collapse"] = collapse_s
-    LAST_STATS["p1_setup"] = setup_s
+    stats["collapse"] = collapse_s
+    stats["p1_setup"] = setup_s
     t0 = _time.perf_counter()
     pairs = _expand_dedup(
         pairs_u, codes_l, perm_r, starts_r, counts_r,
         u_left, left.n_rows, min_sim_sel,
         min(max_n, right_m.n_rows),
     )
-    LAST_STATS["expand"] = _time.perf_counter() - t0
+    stats["expand"] = _time.perf_counter() - t0
+    pairs.stats = stats
+    _publish_stats(stats)
     return pairs
 
 
@@ -2168,14 +2210,6 @@ def topn_cosine_matches(
     del topn_slack
     is_self = right is None
     right_m = left if is_self else right
-    if left.n_rows == 0 or right_m.n_rows == 0:
-        # Engine callers never get here (the encoder raises sklearn's
-        # "empty vocabulary" on an empty corpus, reference behavior);
-        # direct callers get an empty matches list instead of the segment
-        # arithmetic tripping over zero-row matrices.
-        z = np.zeros(0, dtype=np.int64)
-        return MatchPairs(rows=z, cols=z, sims=np.zeros(0),
-                          true_max_n_matches=0)
     # Equalize ELL widths so host scoring sees consistent padding
     # (multiple of 8 for shape bucketing; pow2 would waste upload bytes).
     width = -(-max(left.width, right_m.width, 8) // 8) * 8
@@ -2192,9 +2226,12 @@ def topn_cosine_matches(
         ),
     )
     t0 = _time.perf_counter()
+    stats = pairs.stats
     if is_self and force_symmetries:
-        pairs = apply_self_join_fixups(pairs, left.n_rows)
+        fixed = apply_self_join_fixups(pairs, left.n_rows)
     else:
-        pairs = order_like_reference_csr(pairs)
-    LAST_STATS["fixups"] = _time.perf_counter() - t0
-    return pairs
+        fixed = order_like_reference_csr(pairs)
+    if stats is not None:
+        stats["fixups"] = _time.perf_counter() - t0
+        fixed.stats = stats
+    return fixed

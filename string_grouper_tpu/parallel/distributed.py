@@ -59,8 +59,6 @@ from ..ops.matcher import (
     apply_self_join_fixups,
     build_hash_matrix,
     fused_enabled,
-    initial_cand_c,
-    initial_k_tile,
     match_block,
     order_like_reference_csr,
 )

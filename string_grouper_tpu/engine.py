@@ -132,7 +132,14 @@ class StringGrouper:
         validate_n_blocks(self._config.n_blocks)
         validate_hash_dim(self._config)
         validate_mesh(self._config)
-        self.is_build = False
+        self._n_blocks = self._config.n_blocks
+        # Rebuild the encoder against the NEW config: the reference's
+        # vectorizer reads the live config at fit time (its analyzer is the
+        # bound n_grams method, string_grouper.py:699-707), so options set
+        # via update_options / method-twin kwargs (ngram_size, regex,
+        # ignore_case, normalize_to_ascii, tfidf_matrix_dtype) must reach
+        # the next fit's tokenization here too.
+        self._build_corpus()
 
     def _build_corpus(self):
         # The encoder is (re)fit lazily inside fit()/dot() on the then-current
@@ -320,24 +327,31 @@ class StringGrouper:
                     right_codes=right_codes,
                 )
         stats_src = getattr(pairs, "stats", None)
-        if stats_src is None:  # path without attachment (e.g. multihost)
+        if stats_src is None:  # no attachment: read the module mirror
             from .ops.matcher import LAST_STATS as stats_src
 
         for k, v in stats_src.items():
             self.timings.seconds[f"match.{k}"] = (
                 round(v, 3) if isinstance(v, float) else v
             )
+        self._store_pairs(pairs)
+        return self
+
+    def _store_pairs(self, pairs) -> None:
+        """Shared tail of every fit tier: matches-list DataFrame assembly
+        in the configured dtype."""
         self._true_max_n_matches = pairs.true_max_n_matches
         with self.timings.phase("assemble"):
             self._matches_list = pd.DataFrame(
                 {
                     "master_side": pairs.rows.astype(np.int64),
                     "dupe_side": pairs.cols.astype(np.int64),
-                    "similarity": pairs.sims.astype(self._config.tfidf_matrix_dtype),
+                    "similarity": pairs.sims.astype(
+                        self._config.tfidf_matrix_dtype
+                    ),
                 }
             )
         self.is_build = True
-        return self
 
     def _use_multihost(self) -> bool:
         """Multi-controller tier selection: explicit config wins; ``None``
@@ -364,19 +378,10 @@ class StringGrouper:
                 self._master, self._duplicates, self._config
             )
         for k, v in stages.items():
-            self.timings.seconds[f"match.mh_{k}"] = v
-        self._true_max_n_matches = pairs.true_max_n_matches
-        with self.timings.phase("assemble"):
-            self._matches_list = pd.DataFrame(
-                {
-                    "master_side": pairs.rows.astype(np.int64),
-                    "dupe_side": pairs.cols.astype(np.int64),
-                    "similarity": pairs.sims.astype(
-                        self._config.tfidf_matrix_dtype
-                    ),
-                }
+            self.timings.seconds[f"match.mh_{k}"] = (
+                round(v, 3) if isinstance(v, float) else v
             )
-        self.is_build = True
+        self._store_pairs(pairs)
         return self
 
     def dot(self) -> pd.Series:

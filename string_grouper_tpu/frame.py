@@ -212,6 +212,8 @@ def group_representatives(
       'centroid' -- largest per-row sum of match similarities, ties to the
                     smallest positional index (pandas idxmax semantics).
     """
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
     rows = matches_list.master_side.to_numpy()
     cols = matches_list.dupe_side.to_numpy()
     labels = connected_components(rows, cols, n)

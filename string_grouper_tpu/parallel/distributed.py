@@ -638,6 +638,10 @@ def distributed_topn_cosine_matches(
             left_sel=ls, right_sel=rs,
         ),
     )
+    stats = pairs.stats
     if is_self and force_symmetries:
-        return apply_self_join_fixups(pairs, left.n_rows)
-    return order_like_reference_csr(pairs)
+        pairs = apply_self_join_fixups(pairs, left.n_rows)
+    else:
+        pairs = order_like_reference_csr(pairs)
+    pairs.stats = stats  # keep THIS fit's breakdown attached (engine reads it)
+    return pairs

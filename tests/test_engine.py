@@ -670,3 +670,31 @@ def test_reset_data_invalidates_fit():
     sg.reset_data(pd.Series(["xyz", "xyw"]))
     with _pytest.raises(StringGrouperNotFitException):
         sg.get_matches()
+
+
+def test_method_twin_kwargs_reach_the_encoder():
+    """Review regression: options set via update_options / method-twin
+    kwargs that shape tokenization (ngram_size here) must rebuild the
+    encoder -- the reference's vectorizer reads the live config at fit
+    time (string_grouper.py:699-707)."""
+    s = pd.Series(["hyper startup inc", "hyper startups inc", "mega corp"])
+    fresh = StringGrouper(s, ngram_size=2).fit().get_matches()
+    via_kwargs = StringGrouper(s).match_strings(s, ngram_size=2)
+    pd.testing.assert_frame_equal(fresh, via_kwargs)
+    via_update = StringGrouper(s)
+    via_update.update_options(ngram_size=2)
+    pd.testing.assert_frame_equal(fresh, via_update.fit().get_matches())
+    # explicit n_blocks via update_options reaches the bookkeeping attr
+    # (fit replaces a None with the reference auto-guess afterwards)
+    via_update.update_options(n_blocks=(2, 3))
+    assert via_update._n_blocks == (2, 3)
+
+
+def test_group_representatives_empty():
+    from string_grouper_tpu.frame import group_representatives
+
+    out = group_representatives(
+        pd.DataFrame({"master_side": [], "dupe_side": [], "similarity": []}),
+        0, "first",
+    )
+    assert len(out) == 0

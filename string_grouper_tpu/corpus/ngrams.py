@@ -120,9 +120,9 @@ def extract_packed_keys(
         big = b64 >= limit
         if big.any():
             for j in range(ngram_size):
-                mask[max(0, 0 - j) : total_len - j][
-                    big[j : total_len]
-                ] = False
+                # window starting at p contains position p+j; invalidate
+                # every window whose j-th codepoint is out of range
+                mask[: total_len - j][big[j:total_len]] = False
     starts = np.flatnonzero(mask[:n_keys])
     keys = keys_all[starts]
     row_of_pos = np.repeat(np.arange(n_rows, dtype=np.int64), corpus.lengths())

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 from unicodedata import normalize as _unicode_normalize
 
 import numpy as np
@@ -52,10 +52,14 @@ def _ascii_fast_path_ok(config: StringGrouperConfig, joined: str) -> bool:
 
 
 def _clean_ascii_vectorized(
-    strings: Sequence[str], config: StringGrouperConfig
+    strings: Sequence[str], config: StringGrouperConfig,
+    joined: Optional[str] = None,
 ) -> CodepointCorpus:
-    """Vectorized byte-LUT cleanup for pure-ASCII corpora with default regex."""
-    joined = "".join(strings)
+    """Vectorized byte-LUT cleanup for pure-ASCII corpora with default
+    regex.  ``joined`` lets the caller reuse its corpus-sized join (the
+    ASCII check already built one)."""
+    if joined is None:
+        joined = "".join(strings)
     lengths = np.fromiter((len(s) for s in strings), dtype=np.int64, count=len(strings))
     buf = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
 
@@ -110,5 +114,5 @@ def clean_corpus(strings: Sequence[str], config: StringGrouperConfig) -> Codepoi
     if _ascii_fast_path_ok(config, joined):
         # NFKD + ASCII-encode are identity on ASCII input, and lower() on
         # ASCII is a byte LUT, so the fast path is exact here.
-        return _clean_ascii_vectorized(strings, config)
+        return _clean_ascii_vectorized(strings, config, joined=joined)
     return _clean_general(strings, config)

@@ -81,7 +81,7 @@ class DeviceEncodeSrc:
         unique rows' bytes).  Native one-memcpy-per-row gather; the numpy
         fallback's repeat/arange index build is payload-sized."""
         rows = np.ascontiguousarray(rows, dtype=np.int64)
-        lens = np.diff(self.coff)[rows]
+        lens = self.coff[rows + 1] - self.coff[rows]
         coff = np.concatenate(([0], np.cumsum(lens)))
         total = int(coff[-1])
         lib = get_scorer_lib()
@@ -137,8 +137,10 @@ class _DeferredFill:
     def join(self):
         self._t.join()
         if self._exc is not None:
-            exc, self._exc = self._exc, None
-            raise exc
+            # Stay poisoned: sibling matrices share this handle, and a
+            # cleared exception would let a second wait_ready() hand out
+            # the uninitialized np.empty arrays as if the fill succeeded.
+            raise self._exc
 
 
 #: The most recent deferred phase-2 fill: the native encoder keeps
@@ -212,14 +214,24 @@ class EllMatrix:
         assert self.n_rows == other.n_rows
         self.wait_ready()
         other.wait_ready()
-        out = np.zeros(self.n_rows, dtype=np.float64)
-        # Merge per row: both id lists ascending.  Vectorized via searchsorted
-        # row-block trick: compare every slot of self against other's slots.
-        # L is small (max distinct n-grams per string), so L^2 is cheap.
-        a_ids, b_ids = self.ids, other.ids
-        a_vals, b_vals = self.vals64, other.vals64
-        eq = (a_ids[:, :, None] == b_ids[:, None, :]) & (a_ids[:, :, None] >= 0)
-        out = np.einsum("nk,nkl,nl->n", a_vals, eq.astype(np.float64), b_vals)
+        out = np.empty(self.n_rows, dtype=np.float64)
+        # Merge per row: both id lists ascending.  Vectorized by comparing
+        # every slot of self against other's slots; L (max distinct n-grams
+        # per string) is small, so L^2 per row is cheap -- but the (n, L, L)
+        # comparison cube is not, so process row BLOCKS to bound peak
+        # memory (at 663k x L=64 the whole-corpus cube would be ~20 GB).
+        blk = max(1, (1 << 24) // max(1, self.width * other.width))
+        for lo in range(0, self.n_rows, blk):
+            hi = min(self.n_rows, lo + blk)
+            a_ids, b_ids = self.ids[lo:hi], other.ids[lo:hi]
+            a_vals, b_vals = self.vals64[lo:hi], other.vals64[lo:hi]
+            eq = (
+                (a_ids[:, :, None] == b_ids[:, None, :])
+                & (a_ids[:, :, None] >= 0)
+            )
+            out[lo:hi] = np.einsum(
+                "nk,nkl,nl->n", a_vals, eq.astype(np.float64), b_vals
+            )
         return out
 
 
@@ -618,6 +630,9 @@ class TfidfEncoder:
         self.vocab_keys_ = vocab
         self._packed_bits = bits
         self.n_docs_ = n_rows
+        # New vocabulary: any cached device tables belong to the PREVIOUS
+        # fit's vocabulary and must not pair with this fit's idf/norms.
+        self._dev_tables = None
 
         rows, terms, tf = _unique_row_term_counts(row_ids, t_idx, n_terms)
         df = np.bincount(terms, minlength=n_terms)

@@ -35,7 +35,10 @@ def _cache_dir() -> Optional[Path]:
         p = Path(d)
     else:
         xdg = os.environ.get("XDG_CACHE_HOME")
-        base = Path(xdg) if xdg else Path.home() / ".cache"
+        try:
+            base = Path(xdg) if xdg else Path.home() / ".cache"
+        except RuntimeError:  # HOME unresolvable (daemon/container)
+            return None
         p = base / "string_grouper_tpu" / "native"
     try:
         p.mkdir(parents=True, exist_ok=True, mode=0o700)
@@ -49,37 +52,78 @@ def _cache_dir() -> Optional[Path]:
 
 
 _CXXFLAGS = [
+    # -std pinned: the source needs C++17, and older compilers default
+    # below it (a silent compile failure disables the whole native layer).
     # -ffp-contract=off: no FMA contraction -- the exact scorer and encoder
     # must round identically to numpy (multiply THEN add), bit for bit.
-    "-O3", "-march=native", "-ffp-contract=off", "-fopenmp",
+    "-O3", "-std=c++17", "-march=native", "-ffp-contract=off", "-fopenmp",
     "-shared", "-fPIC",
 ]
 
 
+def _host_cpu_key() -> bytes:
+    """Microarchitecture discriminator for the cache key: -march=native
+    output run on a lesser CPU (shared home dirs) would SIGILL, and
+    platform.machine() alone cannot tell two x86-64 generations apart, so
+    include the kernel's CPU flags when available."""
+    host = f"{platform.machine()}:{platform.processor()}"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    host += ":" + line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return host.encode()
+
+
+def _compiler_key(cxx: str) -> bytes:
+    """Compiler identity+version for the cache key (g++<->clang++ or a
+    version switch must not reuse the other's binary)."""
+    try:
+        r = subprocess.run(
+            [cxx, "--version"], capture_output=True, timeout=10
+        )
+        return cxx.encode() + b":" + r.stdout.splitlines()[0]
+    except Exception:
+        return cxx.encode()
+
+
 def _build() -> Optional[Path]:
-    src = _SRC.read_bytes()
-    # Key by source AND host CPU AND flags: -march=native output run on a
-    # different microarchitecture (shared home dirs) would SIGILL.
-    host = f"{platform.machine()}:{platform.processor()}".encode()
-    key = src + b"\0" + host + b"\0" + " ".join(_CXXFLAGS).encode()
+    cxx = os.environ.get("CXX", "g++")
+    try:
+        src = _SRC.read_bytes()
+    except OSError:  # packaged without the source: numpy fallbacks
+        return None
+    key = b"\0".join(
+        [src, _host_cpu_key(), _compiler_key(cxx),
+         " ".join(_CXXFLAGS).encode()]
+    )
     tag = hashlib.sha256(key).hexdigest()[:16]
     cache = _cache_dir()
     if cache is None:
         return None
     out = cache / f"exact_scorer_{tag}.so"
-    if out.exists():
-        if hasattr(os, "geteuid") and out.stat().st_uid != os.geteuid():
-            return None
-        return out
+    try:
+        if out.exists():
+            if hasattr(os, "geteuid") and out.stat().st_uid != os.geteuid():
+                return None
+            return out
+    except OSError:  # racing deletion between exists() and stat()
+        return None
     tmp = out.with_suffix(f".so.tmp.{os.getpid()}")
-    cmd = [os.environ.get("CXX", "g++"), *_CXXFLAGS, str(_SRC), "-o", str(tmp)]
+    cmd = [cxx, *_CXXFLAGS, str(_SRC), "-o", str(tmp)]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, timeout=120
         )
     except Exception:
         return None
-    os.replace(tmp, out)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        return None
     return out
 
 

@@ -128,3 +128,23 @@ def test_unicode_prefold_transform_parity():
     exp = ref.transform(new)
     np.testing.assert_array_equal(got.ids, exp.ids)
     np.testing.assert_array_equal(got.vals64, exp.vals64)
+
+
+def test_numpy_refit_invalidates_device_tables():
+    """Review regression: a numpy-path re-fit (e.g. a row above the native
+    length cap) must invalidate the device tables cached by a previous
+    native-path fit -- a later transform would otherwise pair the OLD
+    vocabulary's table with the NEW fit's idf/norms."""
+    from string_grouper_tpu.config import StringGrouperConfig
+    from string_grouper_tpu.corpus.tfidf import TfidfEncoder
+
+    enc = TfidfEncoder(StringGrouperConfig())
+    enc.fit_transform(["alpha corp", "beta inc", "alpha corporation"])
+    if getattr(enc, "_dev_tables", None) is None:
+        pytest.skip("native path unavailable (no device tables cached)")
+    long_row = "x" * 5000  # above _NATIVE_MAX_ROW: forces the numpy path
+    enc.fit_transform(["gamma llc", "delta gmbh", long_row])
+    assert enc._dev_tables is None
+    # and a fresh transform against the new vocabulary works
+    out = enc.transform(["gamma llc"])
+    assert out.n_rows == 1

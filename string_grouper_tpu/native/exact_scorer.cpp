@@ -158,7 +158,11 @@ void pack_hash_rows(
         const int32_t* idr = ids + r * width;
         const double* vr = vals + r * width;
         int32_t* o = out + i * out_width;
-        for (int64_t k = 0; k < out_width; ++k) {
+        // Clamp reads to the SOURCE width: out_width > width would
+        // otherwise read the next row's slots (or past the array).
+        const int64_t kw = out_width < width ? out_width : width;
+        for (int64_t k = kw; k < out_width; ++k) o[k] = 0;
+        for (int64_t k = 0; k < kw; ++k) {
             const int32_t t = idr[k];
             if (t < 0) { o[k] = 0; continue; }
             const uint32_t b = (static_cast<uint32_t>(t) * 2654435761u) >> shift;

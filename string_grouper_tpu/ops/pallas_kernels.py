@@ -100,24 +100,7 @@ def _p1_body(thr_ref, a_ref, b_ref, ship_ref, cnt_ref, tmax_ref, bnd_ref,
     # value shifts right by the number of new elements ranked before it.
     # -inf new elements rank after every finite entry and overwrite -inf
     # padding, so the sorted-desc / -inf-tail invariant is maintained.
-    v = v_ref[:]
-    c = c_ref[:]
-    i0 = (v > p0[:, None]).sum(axis=1, dtype=jnp.int32)[:, None]
-    i1 = (v > p1[:, None]).sum(axis=1, dtype=jnp.int32)[:, None] + 1
-    k = jax.lax.broadcasted_iota(jnp.int32, (bm, cand_c), 1)
-    shift = (k > i0).astype(jnp.int32) + (k > i1).astype(jnp.int32)
-    v1 = pltpu.roll(v, 1, axis=1)
-    v2 = pltpu.roll(v, 2, axis=1)
-    c1 = pltpu.roll(c, 1, axis=1)
-    c2 = pltpu.roll(c, 2, axis=1)
-    vs = jnp.where(shift == 0, v, jnp.where(shift == 1, v1, v2))
-    cs = jnp.where(shift == 0, c, jnp.where(shift == 1, c1, c2))
-    new_v = jnp.where(
-        k == i0, p0[:, None], jnp.where(k == i1, p1[:, None], vs)
-    )
-    new_c = jnp.where(
-        k == i0, q0[:, None], jnp.where(k == i1, q1[:, None], cs)
-    )
+    new_v, new_c = _rank_insert2(v_ref[:], c_ref[:], p0, p1, q0, q1)
     v_ref[:] = new_v
     c_ref[:] = new_c
 
@@ -217,28 +200,6 @@ def _rank_insert2(v, c, p0, p1, q0, q1):
     new_c = jnp.where(k == i0, q0[:, None], jnp.where(k == i1, q1[:, None], cs))
     return new_v, new_c
 
-
-def _closed2_cols(s, mask, ubm, off):
-    """Closed-form per-COLUMN top-2 of a (bm, bn) thresholded score block:
-    the axis-0 mirror of the kt=2 extraction in ``_p1_body``.  ``off`` is
-    the global row id of the block's first row.  Returns (p0, p1, q0, q1,
-    cnt, bnd) over the bn columns."""
-    bm, bn = s.shape
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
-    cnt = mask.sum(axis=0, dtype=jnp.int32)
-    s1 = jnp.where(mask, row_iota, 0).sum(axis=0, dtype=jnp.int32)
-    vmax = ubm.max(axis=0)
-    cmax = jnp.argmax(ubm, axis=0).astype(jnp.int32)
-    vmax2 = jnp.where(row_iota == cmax[None, :], _NEG, ubm).max(axis=0)
-    other = s1 - cmax
-    have1 = cnt >= 1
-    have2 = cnt == 2
-    p0 = jnp.where(have1, vmax, _NEG)
-    p1 = jnp.where(have2, vmax2, _NEG)
-    q0 = jnp.where(have1, cmax, 0) + off
-    q1 = jnp.where(have2, other, 0) + off
-    bnd = jnp.where(cnt > 2, vmax2, _NEG)
-    return p0, p1, q0, q1, cnt, bnd
 
 
 #: Future-state packing: ONE lane-aligned (n_pad, 128) f32 array per fit
@@ -594,8 +555,8 @@ def p1_fused_supported(m: int, n_pad: int, d: int, tile: int,
     the matmul."""
     return (
         d % 128 == 0
-        and m % 256 == 0
         and m >= 256
+        and m % min(512, m) == 0  # grid rows = m // min(block_m, m)
         and n_pad % tile == 0
         and tile % 256 == 0
         and 8 <= cand_c <= 256

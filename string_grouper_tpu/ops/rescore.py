@@ -106,26 +106,32 @@ def row_dot_fp64(
     right.wait_ready()
     if np.dtype(acc_dtype) == np.float32:
         n = left.n_rows
-        a_ids, b_ids = left.ids, right.ids
-        a_vals = left.vals64.astype(np.float32)
-        b_vals = right.vals64.astype(np.float32)
-        eq = (a_ids[:, :, None] == b_ids[:, None, :]) & (
-            a_ids[:, :, None] >= 0
-        )
-        # Per left slot, its (unique) matching right value -- the axis-2
-        # 'sum' selects a single element, no rounding.
-        bm = np.where(eq, b_vals[:, None, :], np.float32(0)).sum(
-            axis=2, dtype=np.float32
-        )
-        matched = eq.any(axis=2)
-        prods = (a_vals * bm)[matched]  # row-major: ascending term order
-        counts = matched.sum(axis=1)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         out = np.zeros(n, dtype=np.float32)
-        nz = counts > 0
-        if prods.size:
-            red = np.add.reduceat(prods, starts[nz])
-            out[nz] = red
+        # Row blocks bound the (blk, La, Lb) comparison cube (the same
+        # chunking every sibling path applies; a corpus-sized cube would
+        # be tens of GB at 663k rows).
+        blk = max(1, (1 << 24) // max(1, left.width * right.width))
+        for lo in range(0, n, blk):
+            hi = min(n, lo + blk)
+            a_ids, b_ids = left.ids[lo:hi], right.ids[lo:hi]
+            a_vals = left.vals64[lo:hi].astype(np.float32)
+            b_vals = right.vals64[lo:hi].astype(np.float32)
+            eq = (a_ids[:, :, None] == b_ids[:, None, :]) & (
+                a_ids[:, :, None] >= 0
+            )
+            # Per left slot, its (unique) matching right value -- the
+            # axis-2 'sum' selects a single element, no rounding.
+            bm = np.where(eq, b_vals[:, None, :], np.float32(0)).sum(
+                axis=2, dtype=np.float32
+            )
+            matched = eq.any(axis=2)
+            prods = (a_vals * bm)[matched]  # row-major: ascending order
+            counts = matched.sum(axis=1)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            nz = counts > 0
+            if prods.size:
+                red = np.add.reduceat(prods, starts[nz])
+                out[lo:hi][nz] = red
         return out.astype(np.float64)
     lib = get_scorer_lib()
     if lib is not None:

@@ -60,6 +60,8 @@ def ensure_compilation_cache() -> None:
     # Persist even tiny programs: on the tunneled TPU backend EVERY
     # compile pays a ~0.45 s RPC floor, and a cold fit dispatches ~20
     # distinct tiny programs -- ~9 s that the default 1 s threshold would
-    # never cache.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    # never cache.  An EXPLICIT user setting (env var) wins, same as the
+    # dir knob above.
+    if "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     logger.debug("persistent compilation cache at %s", path)

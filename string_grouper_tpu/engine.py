@@ -282,13 +282,7 @@ class StringGrouper:
             # pure wall-clock optimization.  When the byte-level payload is
             # present its clean hashes supersede a raw factorize, so the
             # (corpus-sized) factorize only runs on payload-less paths.
-            def dup_codes(series, ell):
-                src = getattr(ell, "device_src", None)
-                if src is not None and src.row_hash is not None:
-                    # The matcher derives (strictly coarser) clean-equality
-                    # codes from the payload hashes itself.
-                    return None
-                return pd.factorize(series)[0]
+            from .ops.matcher import duplicate_codes as dup_codes
 
             left_codes = dup_codes(self._master, master_ell)
             right_codes = None

@@ -2049,6 +2049,19 @@ def _expand_dedup(
     )
 
 
+def duplicate_codes(series, ell: EllMatrix):
+    """Duplicate coding for the collapse layer: ``None`` when the byte
+    payload's clean-equality hashes are present (``match_with_collapse``
+    derives a strictly coarser coding from them itself), else a raw
+    factorize of the strings.  Shared by the engine and multihost tiers."""
+    import pandas as pd
+
+    src = getattr(ell, "device_src", None)
+    if src is not None and src.row_hash is not None:
+        return None
+    return pd.factorize(pd.Series(series))[0]
+
+
 def match_with_collapse(
     left: EllMatrix,
     right_m: EllMatrix,

@@ -25,8 +25,8 @@ Cross-host traffic, by stage (nothing else leaves a host):
 
   1. key-packing width: one scalar max (``process_allgather``).
   2. vocabulary: union of per-shard sorted unique key sets (vocab-sized).
-  3. document frequency: one |vocab|-int vector per host, reduced on
-     device (the psum ride).  IDF replicates.
+  3. document frequency: one |vocab|-int vector per host, allgathered
+     and summed on host.  IDF replicates.
   4. hashed projections: each host's shard of the bf16 hash matrix forms a
      globally-sharded device array (``make_array_from_process_local_data``)
      -- the phase-1 matmul reads it over the interconnect, not the host.
@@ -68,6 +68,7 @@ from ..ops.matcher import (
     _select_topn,
     apply_self_join_fixups,
     build_hash_matrix,
+    duplicate_codes,
     effective_threshold,
     initial_cand_c,
     match_block,
@@ -149,7 +150,11 @@ def multihost_encode_shard(
         key_dtype = keys.dtype if len(keys) else np.dtype(
             (np.void, 4 * config.ngram_size)
         )
-        assert key_dtype.itemsize == 4 * config.ngram_size, key_dtype
+        if key_dtype.itemsize != 4 * config.ngram_size:
+            raise AssertionError(
+                f"window key dtype {key_dtype} does not match the 4-bytes-"
+                f"per-codepoint layout for ngram_size={config.ngram_size}"
+            )
 
     # 2. Vocabulary union: per-shard sorted unique key sets, padded to the
     # global max length for the allgather.  Keys ride as raw bytes so one
@@ -189,8 +194,8 @@ def multihost_encode_shard(
     vocab = np.unique(gathered_keys)
     n_terms = len(vocab)
 
-    # 3. Document frequency: per-shard partial -> device psum across every
-    # process's devices (the DCN ride), IDF replicated.
+    # 3. Document frequency: per-shard partials allgathered and summed on
+    # host (one |vocab|-sized exchange), IDF replicated.
     t_idx = np.searchsorted(vocab, keys)
     rows, terms, tf = _unique_row_term_counts(row_ids, t_idx, n_terms)
     df_local = np.bincount(terms, minlength=n_terms).astype(np.int64)
@@ -303,6 +308,13 @@ def multihost_match_shard(
     # Per-device shard size (rows), padded to whole tiles.
     per_dev = -(-max(-(-n_total // n_dev), 8) // tile) * tile
     n_pad_local = per_dev * (n_dev // nproc)
+    if n_local > n_pad_local:
+        raise ValueError(
+            f"shard of {n_local} rows exceeds this process's padded "
+            f"capacity {n_pad_local} (n_total={n_total}, {nproc} processes, "
+            f"{n_dev} devices, tile={tile}): shards must be balanced to "
+            "ceil(n_total / n_processes) rows"
+        )
     h_local = build_hash_matrix(local_ell, n_pad_local, hash_dim)
     h_local = np.asarray(h_local)
 
@@ -314,12 +326,12 @@ def multihost_match_shard(
     # Exact blocks: one bulk allgather (stage 5).  Widths were agreed at
     # encode; row counts may differ per shard -- pad to the global max.
     local_ell.wait_ready()
-    n_max = int(_allgather_host(np.array([n_local], np.int64)).max())
+    counts = _allgather_host(np.array([n_local], np.int64)).reshape(-1)
+    n_max = int(counts.max())
     ids_p = np.full((n_max, local_ell.width), -1, dtype=np.int32)
     ids_p[:n_local] = local_ell.ids
     vals_p = np.zeros((n_max, local_ell.width), dtype=np.float64)
     vals_p[:n_local] = local_ell.vals64
-    counts = _allgather_host(np.array([n_local], np.int64)).reshape(-1)
     ids_g = _allgather_host(ids_p)
     vals_g = _allgather_host(vals_p)
     full_ids = np.concatenate([ids_g[p, : counts[p]] for p in range(nproc)])
@@ -424,8 +436,10 @@ def multihost_match_shard(
     # width (k_tile = tile extracts every qualified column per tile and
     # cand_c = per-shard row count fits them all), so one round settles
     # everything.  Each host then reads back only the rows it owns.
+    from ..ops.matcher import _UB_ABS_SLACK, _UB_ADJ
+
     bound_h = np.asarray(bound_rep)[shard_row0 : shard_row0 + n_local]
-    adj = np.minimum(bound_h * 1.01 + 1e-4, 1.0)
+    adj = np.minimum(bound_h * _UB_ADJ + _UB_ABS_SLACK, 1.0)
     max_n_eff = min(max_n_matches, n_total)
     unsafe = (
         (bound_h > -np.inf)
@@ -445,14 +459,20 @@ def multihost_match_shard(
         m_p = -(-len(union) // chunk) * chunk
         sel = np.zeros(m_p, dtype=np.int64)
         sel[: len(union)] = union
-        a_sub = np.where(
-            (np.arange(m_p) < len(union))[:, None],
-            np.asarray(a_hash)[sel],
+        # Device-side gather: a_hash is corpus-sized (hundreds of MB at
+        # scale) -- only the selected rows should ever cross to host.
+        a_sub = jnp.where(
+            (jnp.arange(m_p) < len(union))[:, None],
+            a_hash[jnp.asarray(sel)],
             0,
         )
-        esc_chunks = jnp.asarray(a_sub).reshape(-1, chunk, hash_dim)
+        esc_chunks = a_sub.reshape(-1, chunk, hash_dim)
         cols_esc, bound_esc = make_scan(per_dev)(esc_chunks, b_hash, thr)
-        assert not np.isfinite(np.asarray(bound_esc)).any()
+        if np.isfinite(np.asarray(bound_esc)).any():
+            raise AssertionError(
+                "multihost escalation re-match reported a finite drop "
+                "bound: the complete-width invariant is broken"
+            )
         cols_esc = np.asarray(cols_esc)[: len(union)]
         mine = (union >= shard_row0) & (union < shard_row0 + n_local)
         if mine.any():
@@ -526,6 +546,10 @@ def _slice_ell(ell: EllMatrix, lo: int, hi: int) -> EllMatrix:
         vals64=ell.vals64[lo:hi],
         n_terms=ell.n_terms,
         device_src=src.slice_rows(lo, hi) if src is not None else None,
+        # Slices view still-filling buffers when the fill is deferred:
+        # wait_ready() on the slice must join it (tfidf.fit_transform_pair
+        # propagates the handle the same way).
+        pending=ell.pending,
     )
 
 
@@ -572,16 +596,6 @@ def _empty_pairs() -> MatchPairs:
         sims=np.zeros(0, dtype=np.float64),
         true_max_n_matches=0,
     )
-
-
-def _dup_codes(series_slice, ell_slice: EllMatrix):
-    """Engine-equivalent duplicate coding for the collapse layer: the byte
-    payload's clean-equality hashes when present (the matcher derives the
-    coding itself), raw factorize otherwise."""
-    src = ell_slice.device_src
-    if src is not None and src.row_hash is not None:
-        return None
-    return pd.factorize(pd.Series(series_slice))[0]
 
 
 def multihost_fit_pairs(
@@ -636,7 +650,11 @@ def multihost_fit_pairs(
         local_ell, _idf, n_docs_g = multihost_encode_shard(
             shard_strings(), config
         )
-        assert n_docs_g == n_docs
+        if n_docs_g != n_docs:
+            raise AssertionError(
+                f"global document count mismatch: slices sum to {n_docs_g} "
+                f"but the full corpus has {n_docs} rows"
+            )
         t["encode_s"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         full_ell = _allgather_full_ell(local_ell)
@@ -656,10 +674,22 @@ def multihost_fit_pairs(
     max_n = n_right if config.max_n_matches is None else config.max_n_matches
     per_l = -(-max(n_m, 1) // nproc)
     lo_l, hi_l = pid * per_l, min((pid + 1) * per_l, n_m)
+    if config.mesh is not None:
+        # Validate on EVERY process (including empty-slice ones): raising
+        # on some processes while others proceed into the pair allgather
+        # would hang the job instead of failing it.
+        local = set(jax.local_devices())
+        if not all(d in local for d in config.mesh.devices.flat):
+            raise ValueError(
+                "multihost + mesh: the mesh must contain only this "
+                "process's local devices (each process runs its own "
+                "sharded matcher on its left-row slice; build it from "
+                "jax.local_devices(), not jax.devices())."
+            )
     if hi_l > lo_l:
         left_slice = _slice_ell(full_master, lo_l, hi_l)
-        left_codes = _dup_codes(master.iloc[lo_l:hi_l], left_slice)
-        right_codes = _dup_codes(right_series, full_right)
+        left_codes = duplicate_codes(master.iloc[lo_l:hi_l], left_slice)
+        right_codes = duplicate_codes(right_series, full_right)
         kwargs = dict(
             hash_dim=config.hash_dim,
             left_chunk=config.left_chunk,
@@ -671,14 +701,6 @@ def multihost_fit_pairs(
         if config.mesh is not None:
             from .distributed import distributed_topn_cosine_matches
 
-            local = set(jax.local_devices())
-            if not all(d in local for d in config.mesh.devices.flat):
-                raise ValueError(
-                    "multihost + mesh: the mesh must contain only this "
-                    "process's local devices (each process runs its own "
-                    "sharded matcher on its left-row slice; build it from "
-                    "jax.local_devices(), not jax.devices())."
-                )
             pairs_local = distributed_topn_cosine_matches(
                 left_slice, full_right, config.min_similarity, max_n,
                 config.mesh, **kwargs,

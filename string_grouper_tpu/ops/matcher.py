@@ -1985,6 +1985,13 @@ def _expand_dedup(
     similarity runs gather + sort; the numpy chain below remains the
     oracle (tests/test_dedup_collapse.py fuzzes them against each other).
     """
+    if not len(pairs_u.rows):
+        # Zero qualifying pairs at the unique level (e.g. a cross-join
+        # above every similarity): the repeat-chain below builds a
+        # length-1 `cum` against a length-0 `cnt` and raises.
+        z = np.zeros(0, dtype=np.int64)
+        return MatchPairs(rows=z, cols=z, sims=np.zeros(0),
+                          true_max_n_matches=0)
     from ..native import get_scorer_lib
 
     lib = get_scorer_lib()

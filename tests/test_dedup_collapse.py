@@ -396,3 +396,19 @@ def test_tiny_min_similarity_takes_thresholdless_path():
     loose = topn_cosine_matches(m, None, 1e-12, 20)
     assert (tiny.sims >= 1e-4).all()
     assert len(tiny.rows) == len(loose.rows)  # same qualifying pairs here
+
+
+def test_cross_join_no_qualifying_pairs_with_collapse():
+    """Fuzz-campaign regression: a cross-join whose collapse layer engages
+    but where NO pair clears the threshold must return an empty matches
+    list (the numpy expansion chain once crashed on the empty repeat)."""
+    left = ["alpha corp", "alpha corp", "beta inc"]
+    right = ["zzz qqq www", "zzz qqq www", "kkk jjj lll"]
+    enc = TfidfEncoder(StringGrouperConfig())
+    m, d = enc.fit_transform_pair(left, right)
+    out = topn_cosine_matches(
+        m, d, 0.99, 20,
+        left_codes=pd.factorize(pd.Series(left))[0],
+        right_codes=pd.factorize(pd.Series(right))[0],
+    )
+    assert len(out.rows) == 0 and out.true_max_n_matches == 0

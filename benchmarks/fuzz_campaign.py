@@ -7,9 +7,13 @@ in [-1, 0.95], max_n in {1..10^9}) and demands EXACT pair-set and value
 equality.  Run on the preloaded backend (real TPU exercises the fused
 Pallas kernel; JAX_PLATFORMS=cpu for the XLA path).
 
-Usage: python benchmarks/fuzz_campaign.py [n_seeds]   (default 200)
+Usage: python benchmarks/fuzz_campaign.py [n_seeds] [f32]  (default 200)
+``f32`` runs the float32-accumulation configuration against an oracle
+scored with the same f32 chain (threshold compared f32-rounded, the
+reference's in-kernel semantics).
 Recorded runs: 2026-08-20, 200/200 clean on TPU v5e in ~10 min (after
-fixing the empty-cross-join expansion crash seed 1000 found).
+fixing the empty-cross-join expansion crash seed 1000 found); f32 mode
+150/150 clean.
 """
 import os, sys, time
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -20,10 +24,42 @@ import numpy as np
 from string_grouper_tpu.config import StringGrouperConfig
 from string_grouper_tpu.corpus import TfidfEncoder
 from string_grouper_tpu.ops import topn_cosine_matches
+from string_grouper_tpu.ops.rescore import rescore_pairs_fp64
 from test_fuzz_oracle import fuzz_oracle_pairs, planted_corpus
 from test_matcher import random_names
 
 N_SEEDS = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+F32 = "f32" in sys.argv[1:]
+
+
+def oracle_pairs_f32(left, right, min_similarity, max_n, is_self):
+    """fuzz_oracle_pairs with the reference's float32 chain: scores
+    accumulate in f32 (exactly promoted to f64) and the threshold
+    compares against the f32-rounded value."""
+    b = left if is_self else right
+    n_l, n_r = left.n_rows, b.n_rows
+    rr, cc = np.divmod(np.arange(n_l * n_r), n_r)
+    sims = rescore_pairs_fp64(
+        left, b, rr, cc, acc_dtype=np.float32
+    ).reshape(n_l, n_r)
+    thr = float(np.float32(min_similarity))
+    keep = (sims > 0) & (sims >= thr)
+    pairs = {}
+    for i in range(n_l):
+        cols = np.nonzero(keep[i])[0]
+        order = sorted(cols, key=lambda c: (-sims[i, c], c))[:max_n]
+        for c in order:
+            pairs[(i, c)] = sims[i, c]
+    if is_self:
+        sym = {}
+        for (i, c), v in pairs.items():
+            if i != c:
+                sym[(i, c)] = v
+                sym[(c, i)] = v
+        for i in range(n_l):
+            sym[(i, i)] = 1.0
+        pairs = sym
+    return pairs
 t0 = time.time()
 fails = 0
 for seed in range(1000, 1000 + N_SEEDS):
@@ -35,8 +71,8 @@ for seed in range(1000, 1000 + N_SEEDS):
         right_strings = planted_corpus(rng)
     min_similarity = float(rng.choice([-1.0, 0.0, 1e-5, 0.15, 0.5, 0.8, 0.95]))
     max_n = int(rng.choice([1, 2, 3, 7, 20, 64, 10**9]))
-    dtype = np.float64
-    enc = TfidfEncoder(StringGrouperConfig())
+    dtype = np.float32 if F32 else np.float64
+    enc = TfidfEncoder(StringGrouperConfig(tfidf_matrix_dtype=dtype))
     if is_self:
         ell, d = enc.fit_transform_pair(strings, None)
         right_ell = None
@@ -44,10 +80,11 @@ for seed in range(1000, 1000 + N_SEEDS):
         ell, right_ell = enc.fit_transform_pair(strings, right_strings)
     got = topn_cosine_matches(
         ell, right_ell, min_similarity, max_n,
-        force_symmetries=is_self,
+        force_symmetries=is_self, score_dtype=dtype,
     )
-    expected = fuzz_oracle_pairs(ell, right_ell, min_similarity,
-                                 min(max_n, (right_ell or ell).n_rows), is_self)
+    oracle = oracle_pairs_f32 if F32 else fuzz_oracle_pairs
+    expected = oracle(ell, right_ell, min_similarity,
+                      min(max_n, (right_ell or ell).n_rows), is_self)
     got_pairs = {(int(r), int(c)): s
                  for r, c, s in zip(got.rows, got.cols, got.sims)}
     if set(got_pairs) != set(expected):

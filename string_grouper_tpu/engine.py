@@ -108,8 +108,7 @@ class StringGrouper:
         self.timings = PhaseTimings()
 
         self._set_data(master, duplicates, master_id, duplicates_id)
-        self._set_options(**kwargs)
-        self._build_corpus()
+        self._set_options(**kwargs)  # ends with _build_corpus()
 
     # ------------------------------------------------------------------ data
     def _set_data(self, master, duplicates=None, master_id=None, duplicates_id=None):

@@ -551,12 +551,20 @@ def prefetch_corpus_hash(ell: EllMatrix, hash_dim: int) -> None:
 
 
 def _prefetched_hash(src, dim: int) -> Optional[jax.Array]:
-    """The prefetched (n, dim) full-corpus hash matrix, or None.  Build
-    errors propagate here -- the direct build would hit the same one."""
+    """The prefetched (n, dim) full-corpus hash matrix, or None.  A failed
+    worker build (e.g. transient device OOM) clears the cached future so
+    callers fall back to the direct build instead of re-raising forever."""
     pf = getattr(src, "_hash_prefetch", None)
     if pf is None or pf[0] != dim:
         return None
-    return pf[1].result()
+    try:
+        return pf[1].result()
+    except Exception:
+        if getattr(src, "_hash_prefetch", None) is pf:
+            object.__setattr__(src, "_hash_prefetch", None)
+        logger.warning("prefetched hash build failed; rebuilding directly",
+                       exc_info=True)
+        return None
 
 
 def build_hash_matrix(

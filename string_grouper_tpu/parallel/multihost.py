@@ -202,21 +202,44 @@ def multihost_encode_shard(
     df = _allgather_host(df_local).sum(axis=0)
     n_docs_local = np.array([n_rows], dtype=np.int64)
     n_docs = int(_allgather_host(n_docs_local).sum())
-    idf = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
 
-    # 4. Shard-local values/norms/ELL over the global vocabulary.
-    w = tf.astype(np.float64) * idf[terms]
-    norm_sq = np.bincount(rows, weights=w * w, minlength=n_rows)
-    norm = np.sqrt(norm_sq)
-    inv = np.zeros(n_rows, dtype=np.float64)
-    nz = norm > 0
-    inv[nz] = 1.0 / norm[nz]
+    # 4. Shard-local values/norms/ELL over the global vocabulary.  The
+    # float32 branch reproduces the single-process encoder's sklearn
+    # rounding chain (corpus/tfidf.py _encode / fit_transform f32 paths)
+    # with the GLOBAL df / doc count, so shard blocks concatenate bitwise
+    # equal to a full local f32 encode -- both chains are row-local given
+    # (idf, tf).
+    f32 = np.dtype(config.tfidf_matrix_dtype) == np.float32
+    if f32:
+        df32 = df.astype(np.float32) + np.float32(1.0)
+        idf32c = np.full_like(df32, n_docs + 1, dtype=np.float32)
+        idf32c /= df32
+        np.log(idf32c, out=idf32c)
+        idf32c += np.float32(1.0)
+        idf = idf32c.astype(np.float64)
+        w = tf.astype(np.float32) * idf32c[terms]
+        norm_sq = np.bincount(rows, weights=w * w, minlength=n_rows)
+        norm = np.sqrt(norm_sq)
+        safe = np.where(norm > 0, norm, 1.0)
+        vals = (w / safe[rows]).astype(np.float32).astype(np.float64)
+        inv = np.zeros(n_rows, dtype=np.float64)
+        nz = norm > 0
+        inv[nz] = 1.0 / norm[nz]
+    else:
+        idf = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+        w = tf.astype(np.float64) * idf[terms]
+        norm_sq = np.bincount(rows, weights=w * w, minlength=n_rows)
+        norm = np.sqrt(norm_sq)
+        inv = np.zeros(n_rows, dtype=np.float64)
+        nz = norm > 0
+        inv[nz] = 1.0 / norm[nz]
+        vals = w * inv[rows]
     width_local = np.array(
         [int(np.bincount(rows, minlength=n_rows).max(initial=0))], np.int64
     )
     width = max(8, -(-int(_allgather_host(width_local).max()) // 8) * 8)
     ell = _ell_from_unique_pairs(
-        rows, terms, w * inv[rows], n_rows, n_terms, width=width
+        rows, terms, vals, n_rows, n_terms, width=width
     )
 
     # Byte-level device-encode payload (the wire-minimal upload pillar of
@@ -225,7 +248,11 @@ def multihost_encode_shard(
     # ASCII) -- a GLOBAL property (bits0 comes from the global max
     # codepoint), so every process takes the same branch.  The tables are a
     # pure function of the agreed vocabulary, hence identical everywhere.
-    if bits0 == 8 and os.environ.get("SG_TPU_DEVICE_ENCODE", "1") != "0":
+    if (
+        bits0 == 8
+        and not f32
+        and os.environ.get("SG_TPU_DEVICE_ENCODE", "1") != "0"
+    ):
         code_lut, table, idf32, base = device_tables_from_vocab(
             vocab.astype(np.uint64), idf, config.ngram_size
         )
@@ -305,12 +332,18 @@ def multihost_match_shard(
     n_dev = len(devs)
     mesh = Mesh(np.array(devs).reshape(1, n_dev), ("dp", "mp"))
 
-    # Per-device shard size (rows), padded to whole tiles.
+    # Per-device shard size (rows), padded to whole tiles.  The capacity
+    # check must be COLLECTIVE: the row counts are allgathered first so an
+    # oversized shard raises on EVERY process (a process-local raise would
+    # leave the balanced peers hanging in the next collective).
     per_dev = -(-max(-(-n_total // n_dev), 8) // tile) * tile
     n_pad_local = per_dev * (n_dev // nproc)
-    if n_local > n_pad_local:
+    local_ell.wait_ready()
+    counts = _allgather_host(np.array([n_local], np.int64)).reshape(-1)
+    if int(counts.max()) > n_pad_local:
         raise ValueError(
-            f"shard of {n_local} rows exceeds this process's padded "
+            f"shard of {int(counts.max())} rows (process "
+            f"{int(counts.argmax())}) exceeds the per-process padded "
             f"capacity {n_pad_local} (n_total={n_total}, {nproc} processes, "
             f"{n_dev} devices, tile={tile}): shards must be balanced to "
             "ceil(n_total / n_processes) rows"
@@ -325,8 +358,6 @@ def multihost_match_shard(
 
     # Exact blocks: one bulk allgather (stage 5).  Widths were agreed at
     # encode; row counts may differ per shard -- pad to the global max.
-    local_ell.wait_ready()
-    counts = _allgather_host(np.array([n_local], np.int64)).reshape(-1)
     n_max = int(counts.max())
     ids_p = np.full((n_max, local_ell.width), -1, dtype=np.int32)
     ids_p[:n_local] = local_ell.ids
@@ -621,50 +652,39 @@ def multihost_fit_pairs(
     n_m = len(master)
     n_docs = n_m + (0 if is_self else len(duplicates))
 
-    if config.tfidf_matrix_dtype == np.float32:
-        # The f32 rounding chain (IDF computed in f32 steps) lives in the
-        # host encoder; encode the full corpus locally for bit parity --
-        # the same carve-out as the single-controller mesh path
-        # (parallel/distributed.py sharded_fit_transform).
-        from ..corpus import TfidfEncoder
+    per = -(-max(n_docs, 1) // nproc)
+    lo, hi = pid * per, min((pid + 1) * per, n_docs)
 
-        enc = TfidfEncoder(config)
-        master_ell, dupes_ell = enc.fit_transform_pair(
-            master, None if is_self else duplicates
+    def shard_strings():
+        if hi <= lo:
+            return []
+        out = (
+            list(master.iloc[max(lo, 0):min(hi, n_m)]) if lo < n_m else []
         )
-        full_master, full_right = master_ell, dupes_ell
-    else:
-        per = -(-max(n_docs, 1) // nproc)
-        lo, hi = pid * per, min((pid + 1) * per, n_docs)
+        if hi > n_m:
+            out += list(duplicates.iloc[max(lo - n_m, 0):hi - n_m])
+        return out
 
-        def shard_strings():
-            if hi <= lo:
-                return []
-            out = (
-                list(master.iloc[max(lo, 0):min(hi, n_m)]) if lo < n_m else []
-            )
-            if hi > n_m:
-                out += list(duplicates.iloc[max(lo - n_m, 0):hi - n_m])
-            return out
-
-        local_ell, _idf, n_docs_g = multihost_encode_shard(
-            shard_strings(), config
+    # Sharded encode for BOTH matrix dtypes: the f32 sklearn rounding chain
+    # is reproduced inside multihost_encode_shard against the global
+    # df / doc count, so float32 corpora shard exactly like float64.
+    local_ell, _idf, n_docs_g = multihost_encode_shard(
+        shard_strings(), config
+    )
+    if n_docs_g != n_docs:
+        raise AssertionError(
+            f"global document count mismatch: slices sum to {n_docs_g} "
+            f"but the full corpus has {n_docs} rows"
         )
-        if n_docs_g != n_docs:
-            raise AssertionError(
-                f"global document count mismatch: slices sum to {n_docs_g} "
-                f"but the full corpus has {n_docs} rows"
-            )
-        t["encode_s"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        full_ell = _allgather_full_ell(local_ell)
-        t["ell_allgather_s"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        full_master = _slice_ell(full_ell, 0, n_m)
-        full_right = (
-            full_master if is_self else _slice_ell(full_ell, n_m, n_docs)
-        )
-    t.setdefault("encode_s", time.perf_counter() - t0)
+    t["encode_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    full_ell = _allgather_full_ell(local_ell)
+    t["ell_allgather_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    full_master = _slice_ell(full_ell, 0, n_m)
+    full_right = (
+        full_master if is_self else _slice_ell(full_ell, n_m, n_docs)
+    )
 
     # Left rows shard contiguously over processes; each process runs the
     # complete single-controller matcher on its slice.

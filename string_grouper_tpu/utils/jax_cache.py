@@ -19,13 +19,51 @@ but re-running the same pipeline (the production pattern) hits every entry.
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import os
+import platform as _platform
 from pathlib import Path
 
 logger = logging.getLogger("string_grouper_tpu")
 
 _done = False
+
+
+def machine_fingerprint(cpu_flags: str | None = None,
+                        jax_version: str | None = None) -> str:
+    """Short stable fingerprint of this host's instruction-set surface.
+
+    XLA:CPU AOT entries embed machine features (AVX-512 etc.); loading an
+    entry compiled on a different host can SIGILL.  JAX's own cache key does
+    not fully capture host CPU features, so when one shared cache directory
+    serves heterogeneous machines, stale cross-machine entries get loaded
+    (observed as ``machine features don't match`` warnings).  Segregating
+    the default cache dir by this fingerprint makes that impossible.
+
+    Parameters exist only for testability; by default the fingerprint is
+    derived from the live host (``/proc/cpuinfo`` flags, arch, jax version).
+    """
+    if cpu_flags is None:
+        cpu_flags = ""
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith(("flags", "Features")):
+                        cpu_flags = line.split(":", 1)[1].strip()
+                        break
+        except OSError:  # pragma: no cover - non-Linux
+            pass
+    if jax_version is None:
+        try:
+            import jax
+
+            jax_version = jax.__version__
+        except Exception:  # pragma: no cover
+            jax_version = "unknown"
+    blob = "|".join((_platform.machine(), jax_version,
+                     " ".join(sorted(cpu_flags.split()))))
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 
 def ensure_compilation_cache() -> None:
@@ -51,7 +89,10 @@ def ensure_compilation_cache() -> None:
     else:
         xdg = os.environ.get("XDG_CACHE_HOME")
         base = Path(xdg) if xdg else Path.home() / ".cache"
-        path = base / "string_grouper_tpu" / "jax_cache"
+        # Segregate by host fingerprint: the same default dir may be
+        # NFS-shared between machines with different CPU features, and
+        # XLA:CPU AOT entries are not portable across those.
+        path = base / "string_grouper_tpu" / "jax_cache" / machine_fingerprint()
     try:
         path.mkdir(parents=True, exist_ok=True)
     except OSError:  # pragma: no cover - unwritable home

@@ -102,4 +102,20 @@ oracle_top1 = sgt.match_most_similar(
 pd.testing.assert_frame_equal(mh_top1, oracle_top1)
 print(f"ENGINE_TOP1_OK {proc_id}", flush=True)
 
+# float32 matrices must SHARD the encode too (the f32 sklearn rounding
+# chain runs inside multihost_encode_shard) -- the sharded-path stage keys
+# prove no full-local-encode carve-out ran.
+sg32 = StringGrouper(
+    series, min_similarity=0.5, tfidf_matrix_dtype=np.float32
+).fit()
+f32_stages = sg32.timings.seconds
+assert "match.mh_encode_s" in f32_stages, f32_stages
+assert "match.mh_ell_allgather_s" in f32_stages, f32_stages
+oracle32 = sgt.match_strings(
+    series, min_similarity=0.5, tfidf_matrix_dtype=np.float32,
+    multihost=False,
+)
+pd.testing.assert_frame_equal(sg32.get_matches(), oracle32)
+print(f"ENGINE_F32_OK {proc_id}", flush=True)
+
 print(f"ENGINE_OK {proc_id}", flush=True)

@@ -86,6 +86,7 @@ def test_two_process_engine():
             "ENGINE_CROSS_OK",
             "ENGINE_GROUPS_OK",
             "ENGINE_TOP1_OK",
+            "ENGINE_F32_OK",
             "ENGINE_OK",
         ),
     )

@@ -9,7 +9,7 @@ semantics so that user code written against the reference keeps working.
 from __future__ import annotations
 
 import multiprocessing
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import numpy as np
 
@@ -109,8 +109,15 @@ class StringGrouperConfig(NamedTuple):
         (``jax.process_count() > 1``); True/False force it.  Under the tier
         every process calls the same API with the same full inputs (SPMD);
         encode and matching shard across processes internally and every
-        process returns the identical full output.  Composes with ``mesh``
-        (the per-process matcher then runs sharded over its local devices).
+        process returns the identical full output.  Tier selection: the
+        string ``"replicated"`` forces the fast tier (exact corpus
+        allgathered to every host -- O(corpus) host memory per process);
+        ``"sharded"`` forces the memory-scalable tier (no process holds the
+        full corpus ELL; ~1/n_processes host memory).  ``True``/auto picks
+        ``replicated`` below ``SG_TPU_MH_SHARDED_ROWS`` corpus rows
+        (default 2,000,000) and ``sharded`` at or above it.  The
+        ``replicated`` tier composes with ``mesh`` (the per-process matcher
+        then runs sharded over its local devices).
     """
 
     ngram_size: int = DEFAULT_NGRAM_SIZE
@@ -132,4 +139,4 @@ class StringGrouperConfig(NamedTuple):
     left_chunk: int = DEFAULT_LEFT_CHUNK
     right_tile: int = DEFAULT_RIGHT_TILE
     mesh: Optional[object] = None
-    multihost: Optional[bool] = None
+    multihost: Optional[Union[bool, str]] = None

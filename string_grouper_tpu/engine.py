@@ -14,6 +14,7 @@ and grouped by on-device connected components (ops/connected_components.py).
 from __future__ import annotations
 
 import logging
+import os
 import re
 import warnings
 from typing import List, Optional, Union
@@ -32,6 +33,7 @@ from .validation import (
     validate_group_rep,
     validate_hash_dim,
     validate_mesh,
+    validate_multihost,
     validate_id_data,
     validate_input_data_combination,
     validate_is_fit,
@@ -131,6 +133,7 @@ class StringGrouper:
         validate_n_blocks(self._config.n_blocks)
         validate_hash_dim(self._config)
         validate_mesh(self._config)
+        validate_multihost(self._config)
         self._n_blocks = self._config.n_blocks
         # Rebuild the encoder against the NEW config: the reference's
         # vectorizer reads the live config at fit time (its analyzer is the
@@ -358,18 +361,44 @@ class StringGrouper:
         except Exception:
             return False
 
+    def _multihost_tier(self) -> str:
+        """'replicated' (fast; full exact corpus allgathered per host) or
+        'sharded' (memory-scalable; ~1/n_processes host memory).  Explicit
+        string config wins; True/auto switches to 'sharded' above the
+        SG_TPU_MH_SHARDED_ROWS corpus-row threshold -- the point where
+        host-replicating the exact ELL + payload stops being the right
+        trade (the reference's analog is the ~80k-right-block memory cliff
+        behind its n_blocks option, docs/performance.md:71-79)."""
+        if isinstance(self._config.multihost, str):
+            return self._config.multihost
+        n_docs = len(self._master) + (
+            0 if self._duplicates is None else len(self._duplicates)
+        )
+        threshold = int(os.environ.get("SG_TPU_MH_SHARDED_ROWS", "2000000"))
+        return "sharded" if n_docs >= threshold else "replicated"
+
     def _fit_multihost(self) -> "StringGrouper":
         """Multi-controller fit (parallel/multihost.py): every process calls
         fit() with the same full Series; encode and matching shard across
         processes; the gathered matches list (and hence every get_* output)
         is identical on all processes and bitwise-equal to a single-process
         fit."""
-        from .parallel.multihost import multihost_fit_pairs
+        from .parallel.multihost import (
+            multihost_fit_pairs,
+            multihost_sharded_fit_pairs,
+        )
 
+        tier = self._multihost_tier()
+        fit_pairs = (
+            multihost_sharded_fit_pairs
+            if tier == "sharded"
+            else multihost_fit_pairs
+        )
         with self.timings.phase("match"):
-            pairs, stages = multihost_fit_pairs(
+            pairs, stages = fit_pairs(
                 self._master, self._duplicates, self._config
             )
+        self.timings.seconds["match.mh_tier"] = tier
         for k, v in stages.items():
             self.timings.seconds[f"match.mh_{k}"] = (
                 round(v, 3) if isinstance(v, float) else v

@@ -80,6 +80,7 @@ __all__ = [
     "multihost_encode_shard",
     "multihost_match_shard",
     "multihost_fit_pairs",
+    "multihost_sharded_fit_pairs",
 ]
 
 
@@ -97,6 +98,26 @@ def _allgather_host(x: np.ndarray):
     return np.stack(
         [g[p].view(x.dtype).reshape(x.shape) for p in range(g.shape[0])]
     )
+
+
+def _broadcast_host_from(x: np.ndarray, source: int) -> np.ndarray:
+    """Host-value broadcast from process ``source`` to all processes
+    (rides a device collective).  Same raw-byte transport as
+    :func:`_allgather_host`; every process must pass an array of the SAME
+    shape/dtype (contents are read only on the source).  Unlike an
+    allgather, the received buffer is one block -- O(shape), not
+    O(nproc x shape) -- which is what lets the sharded tier visit remote
+    ELL shards one at a time instead of materializing them all."""
+    from jax.experimental import multihost_utils as mhu
+
+    x = np.ascontiguousarray(x)
+    raw = x.reshape(-1).view(np.uint8)
+    out = np.asarray(
+        mhu.broadcast_one_to_all(
+            raw, is_source=jax.process_index() == source
+        )
+    )
+    return out.view(x.dtype).reshape(x.shape)
 
 
 def multihost_encode_shard(
@@ -385,39 +406,10 @@ def multihost_match_shard(
     cand_c = cand_c0 or initial_cand_c(
         min_similarity, max_n_matches, n_total, per_dev
     )
-    kt = tile  # full per-tile extraction: only top-C truncation can drop
+    # Full per-tile extraction (k_tile = tile): only top-C truncation can
+    # drop, so the drop bound alone drives escalation.
     thr = jnp.float32(effective_threshold(min_similarity))
-
-    def make_scan(cand_w):
-        def scan_chunks(a_chunks_r, b_loc, thr_s):
-            b_tiles = b_loc.reshape(-1, tile, hash_dim)
-
-            def body(_, a_hash_c):
-                w_vals, w_cols, cnts, tmax, bound = match_block(
-                    a_hash_c, b_tiles, thr_s, cand_w, kt
-                )
-                neg = jnp.float32(-jnp.inf)
-                n_loc_rows = b_loc.shape[0]
-                cols_loc = jnp.where(
-                    w_vals > neg,
-                    w_cols + jax.lax.axis_index("mp") * n_loc_rows,
-                    -1,
-                )
-                gc = jax.lax.all_gather(cols_loc, "mp")  # (mp, m, W)
-                mp_sz, m, w = gc.shape
-                cols = jnp.swapaxes(gc, 0, 1).reshape(m, mp_sz * w)
-                return None, (cols, jax.lax.pmax(bound, "mp"))
-
-            _, (cols, bound) = jax.lax.scan(body, None, a_chunks_r)
-            return cols.reshape(-1, cols.shape[-1]), bound.reshape(-1)
-
-        return jax.jit(shard_map(
-            scan_chunks,
-            mesh=mesh,
-            in_specs=(P(None, None, None), P("mp", None), P()),
-            out_specs=(P(), P()),
-            check_vma=False,
-        ))
+    make_scan = _make_phase1_scan(mesh, tile, hash_dim)
 
     cols_rep, bound_rep = make_scan(cand_c)(a_chunks, b_hash, thr)
 
@@ -517,6 +509,435 @@ def multihost_match_shard(
             c_s = np.concatenate([c_s[keep], c2])
             s_s = np.concatenate([s_s[keep], s2])
     return r_s + shard_row0, c_s, s_s
+
+
+# ===========================================================================
+# Sharded production tier: the memory-scalable engine form.
+#
+# The replicated tier below allgathers the full corpus ELL (+ payload) to
+# every process -- O(corpus) host memory per host, which caps the corpus at
+# what ONE host holds (the reference hits the same wall and answers with
+# n_blocks, /root/reference/docs/performance.md:71-79).  This tier keeps the
+# demonstration tier's layout (per-process string shards, globally sharded
+# device hash matrix) and replaces every full-corpus host structure:
+#
+#   encode   -- each process encodes ITS left slice (+ right slice on
+#               cross-joins); nothing is allgathered.
+#   phase 1  -- the right-side bf16 hash is a globally SHARDED device
+#               array; the left hash replicates on DEVICE only (bf16
+#               projection, 1/6th the exact ELL bytes, and HBM -- not host
+#               RAM).  Candidates for this process's left rows come back as
+#               a device slice.
+#   phase 2  -- exact rescoring visits remote right shards ONE AT A TIME
+#               over a broadcast ring (O(2 x corpus/nproc) resident), so
+#               per-process host memory stays ~1/nproc of the replicated
+#               tier's (asserted by tests/test_multihost_tier.py and
+#               measured under real processes in mh_engine_worker.py).
+#   reduce   -- only the RESULT pair list (output-sized by contract: every
+#               process returns the full reference DataFrame) allgathers.
+# ===========================================================================
+
+
+def _make_phase1_scan(mesh, tile: int, hash_dim: int):
+    """Phase-1 scan builder over a (1, n_dev) ('dp','mp') mesh: left chunks
+    replicated, right tiles sharded over 'mp', per-chunk candidate merge via
+    ``all_gather`` (the collective form of the reference's
+    ``zip_sp_matmul_topn``, string_grouper.py:746).  Returns
+    ``make_scan(cand_w)`` -> jitted fn(a_chunks, b_hash, thr) ->
+    (cols[(rows, mp*cand_w)] in padded device space, drop bound[rows])."""
+
+    def make_scan(cand_w):
+        def scan_chunks(a_chunks_r, b_loc, thr_s):
+            b_tiles = b_loc.reshape(-1, tile, hash_dim)
+
+            def body(_, a_hash_c):
+                w_vals, w_cols, cnts, tmax, bound = match_block(
+                    a_hash_c, b_tiles, thr_s, cand_w, tile
+                )
+                neg = jnp.float32(-jnp.inf)
+                n_loc_rows = b_loc.shape[0]
+                cols_loc = jnp.where(
+                    w_vals > neg,
+                    w_cols + jax.lax.axis_index("mp") * n_loc_rows,
+                    -1,
+                )
+                gc = jax.lax.all_gather(cols_loc, "mp")  # (mp, m, W)
+                mp_sz, m, w = gc.shape
+                cols = jnp.swapaxes(gc, 0, 1).reshape(m, mp_sz * w)
+                return None, (cols, jax.lax.pmax(bound, "mp"))
+
+            _, (cols, bound) = jax.lax.scan(body, None, a_chunks_r)
+            return cols.reshape(-1, cols.shape[-1]), bound.reshape(-1)
+
+        return jax.jit(shard_map(
+            scan_chunks,
+            mesh=mesh,
+            in_specs=(P(None, None, None), P("mp", None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+
+    return make_scan
+
+
+def _shard_bounds(n: int, nproc: int, pid: int) -> Tuple[int, int, int]:
+    """Contiguous even sharding: (per, lo, hi) with per = ceil(n/nproc)."""
+    per = -(-max(n, 1) // nproc)
+    return per, pid * per, min((pid + 1) * per, n)
+
+
+def _pad_block(a: np.ndarray, rows: int) -> np.ndarray:
+    out = np.zeros((rows,) + a.shape[1:], dtype=a.dtype)
+    out[: a.shape[0]] = a
+    return out
+
+
+class _RingRescorer:
+    """Exact phase-2 scoring against a RING of remote right-ELL shards.
+
+    Each ``score(rows_local, cols_global)`` call runs ``nproc`` broadcast
+    rounds -- every process MUST make the same number of calls (SPMD), even
+    with zero local pairs.  Peak resident: the local shards plus ONE
+    visiting shard (tracked in ``peak_visit_bytes``)."""
+
+    def __init__(self, left_ell: EllMatrix, right_ell: EllMatrix,
+                 right_counts: np.ndarray, acc_dtype):
+        self.left = left_ell
+        self.right = right_ell
+        self.right_counts = right_counts
+        self.right_starts = np.concatenate(
+            ([0], np.cumsum(right_counts))
+        ).astype(np.int64)
+        self.acc = acc_dtype
+        self.nproc = len(right_counts)
+        self.n_visit_max = int(right_counts.max())
+        self.peak_visit_bytes = 0
+        self.pid = jax.process_index()
+
+    def score(self, rows_local: np.ndarray,
+              cols_global: np.ndarray) -> np.ndarray:
+        self.right.wait_ready()
+        sims = np.zeros(len(rows_local), dtype=np.float64)
+        owner = (
+            np.searchsorted(self.right_starts, cols_global, side="right") - 1
+        )
+        w = self.right.width
+        for s in range(self.nproc):
+            sel = owner == s
+            if s == self.pid:
+                # Local shard: no transfer.
+                if sel.any():
+                    sims[sel] = rescore_pairs_fp64(
+                        self.left, self.right, rows_local[sel],
+                        cols_global[sel] - self.right_starts[s],
+                        acc_dtype=self.acc,
+                    )
+                # Every process still broadcasts in lock-step below.
+            ids_p = _pad_block(
+                self.right.ids if s == self.pid
+                else np.zeros((0, w), np.int32),
+                self.n_visit_max,
+            )
+            vals_p = _pad_block(
+                self.right.vals64 if s == self.pid
+                else np.zeros((0, w), np.float64),
+                self.n_visit_max,
+            )
+            ids_v = _broadcast_host_from(ids_p, s)
+            vals_v = _broadcast_host_from(vals_p, s)
+            if s != self.pid and sel.any():
+                visiting = EllMatrix(
+                    ids=ids_v[: self.right_counts[s]],
+                    vals64=vals_v[: self.right_counts[s]],
+                    n_terms=self.right.n_terms,
+                )
+                self.peak_visit_bytes = max(
+                    self.peak_visit_bytes,
+                    ids_v.nbytes + vals_v.nbytes,
+                )
+                sims[sel] = rescore_pairs_fp64(
+                    self.left, visiting, rows_local[sel],
+                    cols_global[sel] - self.right_starts[s],
+                    acc_dtype=self.acc,
+                )
+        return sims
+
+
+def multihost_sharded_fit_pairs(
+    master, duplicates, config: StringGrouperConfig
+) -> Tuple[MatchPairs, dict]:
+    """Memory-scalable multi-controller fit: the engine's ``sharded``
+    multihost tier (see the section header above).  SPMD contract identical
+    to :func:`multihost_fit_pairs` -- every process calls with the same
+    full input Series and receives the identical full matches list -- but
+    no process ever materializes the full corpus ELL or byte payload:
+    per-process host memory is ~1/nproc of the replicated tier's plus the
+    (output-sized) gathered pair list.
+
+    Covers self- AND cross-joins; bitwise-equal to the single-controller
+    engine (tests/test_multihost_tier.py under one process,
+    tests/mh_engine_worker.py under 2-3 real gloo processes)."""
+    t: dict = {}
+    t0 = time.perf_counter()
+    is_self = duplicates is None
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    n_m = len(master)
+    right_series = master if is_self else duplicates
+    n_right = len(right_series)
+    n_docs = n_m + (0 if is_self else n_right)
+
+    min_similarity = config.min_similarity
+    if np.dtype(config.tfidf_matrix_dtype) == np.float32:
+        # Reference thresholds in the matrix dtype (adaptive_topn does the
+        # same rounding on the single-controller path).
+        min_similarity = float(np.float32(min_similarity))
+    max_n = n_right if config.max_n_matches is None else config.max_n_matches
+    max_n_eff = min(max_n, n_right)
+
+    # --- encode: ONLY this process's slices of each side.
+    per_l, llo, lhi = _shard_bounds(n_m, nproc, pid)
+    per_r, rlo, rhi = _shard_bounds(n_right, nproc, pid)
+    local_strings = list(master.iloc[llo:lhi])
+    n_ll = lhi - llo
+    if not is_self:
+        local_strings += list(duplicates.iloc[rlo:rhi])
+    local_ell, _idf, n_docs_g = multihost_encode_shard(local_strings, config)
+    if n_docs_g != n_docs:
+        raise AssertionError(
+            f"global document count mismatch: slices sum to {n_docs_g} "
+            f"but the full corpus has {n_docs} rows"
+        )
+    left_ell = _slice_ell(local_ell, 0, n_ll)
+    right_ell = (
+        left_ell if is_self
+        else _slice_ell(local_ell, n_ll, n_ll + (rhi - rlo))
+    )
+    left_counts = _allgather_host(
+        np.array([n_ll], np.int64)
+    ).reshape(-1)
+    right_counts = _allgather_host(
+        np.array([rhi - rlo], np.int64)
+    ).reshape(-1)
+    left_starts = np.concatenate(([0], np.cumsum(left_counts))).astype(
+        np.int64
+    )
+    t["encode_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+
+    if n_m == 0 or n_right == 0 or max_n_eff <= 0:
+        t["match_s"] = 0.0
+        return _finish_sharded(
+            _empty_pairs(), master, is_self, config, n_m, t, time.perf_counter()
+        )
+
+    # --- phase 1: sharded right hash, device-replicated left hash.
+    devs = jax.devices()
+    n_dev = len(devs)
+    mesh = Mesh(np.array(devs).reshape(1, n_dev), ("dp", "mp"))
+    dev_per_proc = n_dev // nproc
+    hash_dim = config.hash_dim
+    tile = min(
+        config.right_tile,
+        max(8, -(-max(-(-n_right // n_dev), 8) // 8) * 8),
+    )
+    per_dev_r = -(-max(-(-n_right // n_dev), 8) // tile) * tile
+    pad_local_r = per_dev_r * dev_per_proc
+    if int(right_counts.max()) > pad_local_r:
+        raise ValueError(
+            f"right shard of {int(right_counts.max())} rows exceeds the "
+            f"per-process padded capacity {pad_local_r}"
+        )
+    local_ell.wait_ready()
+    b_local = np.asarray(
+        build_hash_matrix(right_ell, pad_local_r, hash_dim)
+    )
+    b_hash = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("mp", None)),
+        b_local.reshape(pad_local_r, hash_dim),
+    )
+
+    chunk = min(8, per_dev_r)
+    per_dev_l = -(-max(-(-n_m // n_dev), 8) // chunk) * chunk
+    pad_local_l = per_dev_l * dev_per_proc
+    if int(left_counts.max()) > pad_local_l:
+        raise ValueError(
+            f"left shard of {int(left_counts.max())} rows exceeds the "
+            f"per-process padded capacity {pad_local_l}"
+        )
+    a_local = (
+        b_local if is_self and pad_local_l == pad_local_r
+        else np.asarray(build_hash_matrix(left_ell, pad_local_l, hash_dim))
+    )
+    a_sharded = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("mp", None)),
+        a_local.reshape(pad_local_l, hash_dim),
+    )
+    # Corpus-order index map (padded-device position of each left row),
+    # replicated on DEVICE via one gather -- host never holds the full
+    # left hash.
+    n_left_pad = -(-n_m // chunk) * chunk
+    corpus_rows = np.minimum(np.arange(n_left_pad, dtype=np.int64), n_m - 1)
+    owner_of = np.minimum(corpus_rows // per_l, nproc - 1)
+    idx_map = owner_of * pad_local_l + (corpus_rows - left_starts[owner_of])
+    valid_row = np.arange(n_left_pad) < n_m
+    idx_j = jnp.asarray(idx_map)
+    valid_j = jnp.asarray(valid_row)
+    a_dense = jax.jit(
+        lambda x: jnp.where(valid_j[:, None], x[idx_j], 0),
+        out_shardings=NamedSharding(mesh, P()),
+    )(a_sharded)
+    a_chunks = a_dense.reshape(-1, chunk, hash_dim)
+
+    make_scan = _make_phase1_scan(mesh, tile, hash_dim)
+    cand_c = initial_cand_c(min_similarity, max_n_eff, n_right, per_dev_r)
+    thr = jnp.float32(effective_threshold(min_similarity))
+    cols_rep, bound_rep = make_scan(cand_c)(a_chunks, b_hash, thr)
+    # Pull ONLY this process's left-row slice to host.
+    cols_my = np.asarray(cols_rep[llo:lhi])
+    bound_my = np.asarray(bound_rep[llo:lhi])
+    t["p1_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+
+    # --- phase 2: exact rescore over the right-shard ring + selection.
+    right_starts_dev = np.concatenate(
+        ([0], np.cumsum(right_counts))
+    ).astype(np.int64)
+
+    def map_cols(cols_h: np.ndarray) -> np.ndarray:
+        """Padded-device right space -> global right ids."""
+        proc_of = np.minimum(cols_h // pad_local_r, nproc - 1)
+        within = cols_h - proc_of * pad_local_r
+        global_col = right_starts_dev[proc_of] + within
+        valid = (cols_h >= 0) & (within < right_counts[proc_of])
+        return np.where(valid, global_col, -1)
+
+    ring = _RingRescorer(
+        left_ell, right_ell, right_counts, config.tfidf_matrix_dtype
+    )
+
+    def score_select(cols_h: np.ndarray, row_ids_local: np.ndarray):
+        rows_pos, cols_f = _pairs_from_ship(map_cols(cols_h), n_right)
+        rows_l = row_ids_local[rows_pos]
+        sims = ring.score(rows_l, cols_f)
+        return _select_topn(
+            rows_l, cols_f, sims, n_ll, min_similarity, max_n_eff
+        )
+
+    r_s, c_s, s_s, kept_q, row_cut = score_select(
+        cols_my, np.arange(n_ll, dtype=np.int64)
+    )
+    t["rescore_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+
+    # --- escalation: union re-match at the provably-complete width (same
+    # collective discipline as multihost_match_shard).
+    from ..ops.matcher import _UB_ABS_SLACK, _UB_ADJ
+
+    adj = np.minimum(bound_my * _UB_ADJ + _UB_ABS_SLACK, 1.0)
+    unsafe = (
+        (bound_my > -np.inf)
+        & (adj >= max(min_similarity, 0.0))
+        & ((kept_q < max_n_eff) | (adj >= np.minimum(row_cut, 1.0)))
+    )
+    my_unsafe = np.flatnonzero(unsafe).astype(np.int64) + llo
+    n_uns = _allgather_host(np.array([len(my_unsafe)], np.int64))
+    max_uns = int(n_uns.max())
+    t["esc_rows"] = int(n_uns.sum())
+    if max_uns > 0:
+        pad = np.full(max_uns, -1, dtype=np.int64)
+        pad[: len(my_unsafe)] = my_unsafe
+        gathered = _allgather_host(pad).reshape(-1)
+        union = np.unique(gathered[gathered >= 0])
+        m_p = -(-len(union) // chunk) * chunk
+        sel_rows = np.zeros(m_p, dtype=np.int64)
+        sel_rows[: len(union)] = union
+        a_sub = jnp.where(
+            (jnp.arange(m_p) < len(union))[:, None],
+            a_dense[jnp.asarray(sel_rows)],
+            0,
+        )
+        esc_chunks = a_sub.reshape(-1, chunk, hash_dim)
+        cols_esc, bound_esc = make_scan(per_dev_r)(esc_chunks, b_hash, thr)
+        if np.isfinite(np.asarray(bound_esc[: len(union)])).any():
+            raise AssertionError(
+                "sharded-tier escalation re-match reported a finite drop "
+                "bound: the complete-width invariant is broken"
+            )
+        mine = (union >= llo) & (union < lhi)
+        # Every process pulls only ITS union rows, but ALL processes run
+        # the ring below (score_select is collective).
+        cols_esc_mine = (
+            np.asarray(
+                cols_esc[jnp.asarray(np.flatnonzero(mine).astype(np.int64))]
+            )
+            if mine.any()
+            else np.zeros((0, cols_esc.shape[1]), dtype=np.int32)
+        )
+        r2, c2, s2, _, _ = score_select(
+            cols_esc_mine, union[mine] - llo
+        )
+        if mine.any():
+            touched = np.zeros(n_ll, dtype=bool)
+            touched[union[mine] - llo] = True
+            keep = ~touched[r_s]
+            r_s = np.concatenate([r_s[keep], r2])
+            c_s = np.concatenate([c_s[keep], c2])
+            s_s = np.concatenate([s_s[keep], s2])
+            order = np.lexsort((c_s, -s_s, r_s))
+            r_s, c_s, s_s = r_s[order], c_s[order], s_s[order]
+    t["esc_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+
+    # --- memory accounting for the scalability contract.
+    local_bytes = left_ell.ids.nbytes + left_ell.vals64.nbytes
+    if not is_self:
+        local_bytes += right_ell.ids.nbytes + right_ell.vals64.nbytes
+    t["mem_local_ell_bytes"] = int(local_bytes)
+    t["mem_peak_visit_bytes"] = int(ring.peak_visit_bytes)
+    t["mem_replicated_ell_bytes"] = int(
+        n_docs * local_ell.width * (4 + 8)
+    )
+
+    pairs_local = MatchPairs(
+        rows=r_s, cols=c_s, sims=s_s, true_max_n_matches=0
+    )
+    return _finish_sharded(
+        pairs_local, master, is_self, config, n_m, t, t0, row_offset=llo
+    )
+
+
+def _finish_sharded(
+    pairs_local: MatchPairs, master, is_self: bool,
+    config: StringGrouperConfig, n_m: int, t: dict, t0: float,
+    row_offset: int = 0,
+) -> Tuple[MatchPairs, dict]:
+    """Result gather + global fix-ups shared with the replicated tier."""
+    wire = np.empty((len(pairs_local.rows), 3), dtype=np.float64)
+    wire[:, 0] = pairs_local.rows + row_offset
+    wire[:, 1] = pairs_local.cols
+    wire[:, 2] = pairs_local.sims
+    parts = _allgather_ragged(wire)
+    allp = np.concatenate(parts)
+    rows_g = allp[:, 0].astype(np.int64)
+    cols_g = allp[:, 1].astype(np.int64)
+    sims_g = np.ascontiguousarray(allp[:, 2])
+    true_max = (
+        int(np.bincount(rows_g, minlength=n_m).max(initial=0))
+        if len(rows_g)
+        else 0
+    )
+    pairs = MatchPairs(
+        rows=rows_g, cols=cols_g, sims=sims_g, true_max_n_matches=true_max
+    )
+    t["result_allgather_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    if is_self and config.force_symmetries:
+        pairs = apply_self_join_fixups(pairs, n_m)
+    t["fixups_s"] = time.perf_counter() - t0
+    return pairs, {
+        k: (round(v, 4) if isinstance(v, float) else v) for k, v in t.items()
+    }
 
 
 # ===========================================================================

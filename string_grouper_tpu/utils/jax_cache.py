@@ -87,6 +87,19 @@ def ensure_compilation_cache() -> None:
     if knob:
         path = Path(knob)
     else:
+        # CPU backend: leave the cache off.  CPU compiles are cheap (the
+        # cache exists for the minutes-scale TPU compile chain), and
+        # XLA:CPU cache entries are AOT executables embedding machine
+        # features -- reloading them emits feature-mismatch warnings even
+        # on the writing machine (the compile target carries pseudo-
+        # features like +prefer-no-scatter that host detection never
+        # reports) and can SIGILL across machines.  An explicit
+        # SG_TPU_JAX_CACHE dir opts back in.
+        try:
+            if jax.default_backend() == "cpu":
+                return
+        except Exception:  # pragma: no cover - backend init failure
+            return
         xdg = os.environ.get("XDG_CACHE_HOME")
         base = Path(xdg) if xdg else Path.home() / ".cache"
         # Segregate by host fingerprint: the same default dir may be

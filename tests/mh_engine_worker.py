@@ -118,4 +118,31 @@ oracle32 = sgt.match_strings(
 pd.testing.assert_frame_equal(sg32.get_matches(), oracle32)
 print(f"ENGINE_F32_OK {proc_id}", flush=True)
 
+# SHARDED tier under real processes: bitwise-equal with NO full-corpus ELL
+# materialized on any process -- per-process exact-ELL bytes must be
+# ~1/nproc of what the replicated tier would hold, and the phase-2 ring
+# visits one remote shard at a time.
+sg_sh = StringGrouper(series, min_similarity=0.6, multihost="sharded").fit()
+st = sg_sh.timings.seconds
+assert st.get("match.mh_tier") == "sharded", st
+assert "match.mh_ell_allgather_s" not in st, st
+local_b = st["match.mh_mem_local_ell_bytes"]
+full_b = st["match.mh_mem_replicated_ell_bytes"]
+assert local_b * nproc <= full_b * 1.5, (local_b, full_b, nproc)
+visit_b = st["match.mh_mem_peak_visit_bytes"]
+assert visit_b <= (full_b * 1.5) / nproc + 1, (visit_b, full_b, nproc)
+pd.testing.assert_frame_equal(sg_sh.get_matches(), oracle_self)
+print(
+    f"MEM {proc_id} local={local_b} visit={visit_b} replicated={full_b}",
+    flush=True,
+)
+print(f"ENGINE_SHARDED_OK {proc_id}", flush=True)
+
+# Sharded cross-join with IDs.
+mh_sh_cross = sgt.match_strings(
+    series, dup, ids, dids, min_similarity=0.5, multihost="sharded"
+)
+pd.testing.assert_frame_equal(mh_sh_cross, oracle_cross)
+print(f"ENGINE_SHARDED_CROSS_OK {proc_id}", flush=True)
+
 print(f"ENGINE_OK {proc_id}", flush=True)

@@ -87,6 +87,8 @@ def test_two_process_engine():
             "ENGINE_GROUPS_OK",
             "ENGINE_TOP1_OK",
             "ENGINE_F32_OK",
+            "ENGINE_SHARDED_OK",
+            "ENGINE_SHARDED_CROSS_OK",
             "ENGINE_OK",
         ),
     )
@@ -99,7 +101,8 @@ def test_three_process_engine():
     _run_pair(
         "12459",
         worker=ENGINE_WORKER,
-        expect=("ENGINE_SELF_OK", "ENGINE_GROUPS_OK", "ENGINE_OK"),
+        expect=("ENGINE_SELF_OK", "ENGINE_GROUPS_OK", "ENGINE_SHARDED_OK",
+                "ENGINE_OK"),
         nproc=3,
         extra_env={"MH_ENGINE_N": "150"},
     )

@@ -194,6 +194,10 @@ class TestMultihostTier:
         )
         pd.testing.assert_frame_equal(a, b)
 
+    def test_invalid_multihost_value(self):
+        with pytest.raises(Exception, match="multihost"):
+            sgt.match_strings(_names(10), multihost="bogus")
+
     def test_explicit_false_overrides(self):
         """multihost=False forces the single-controller path even when the
         auto-detection would fire (process_count is 1 here, so this just
@@ -204,3 +208,115 @@ class TestMultihostTier:
         sg2 = StringGrouper(s, min_similarity=0.6, multihost=True).fit()
         assert "match.mh_match_s" in sg2.timings.seconds
         pd.testing.assert_frame_equal(sg.get_matches(), sg2.get_matches())
+
+
+class TestShardedTier:
+    """The memory-scalable ``multihost='sharded'`` tier under one process
+    (degenerate collectives; the real 2-3 process form is asserted by
+    tests/mh_engine_worker.py).  No process materializes the full corpus
+    ELL: phase 2 rescoring visits right shards over a broadcast ring."""
+
+    def test_self_join_bitwise(self):
+        s = _names(250, seed=21)
+        a = sgt.match_strings(s, min_similarity=0.6)
+        b = sgt.match_strings(s, min_similarity=0.6, multihost="sharded")
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_cross_join_with_ids_bitwise(self):
+        s = _names(200, seed=22)
+        d = _names(150, seed=23)
+        ids = pd.Series([f"id{i}" for i in range(200)])
+        dids = pd.Series([f"d{i}" for i in range(150)])
+        a = sgt.match_strings(s, d, ids, dids, min_similarity=0.5)
+        b = sgt.match_strings(
+            s, d, ids, dids, min_similarity=0.5, multihost="sharded"
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_groups_and_top1_bitwise(self):
+        s = _names(220, seed=24)
+        a = sgt.group_similar_strings(s, min_similarity=0.6)
+        b = sgt.group_similar_strings(
+            s, min_similarity=0.6, multihost="sharded"
+        )
+        pd.testing.assert_frame_equal(a, b)
+        d = _names(120, seed=25)
+        a2 = sgt.match_most_similar(s, d, min_similarity=0.5)
+        b2 = sgt.match_most_similar(
+            s, d, min_similarity=0.5, multihost="sharded"
+        )
+        pd.testing.assert_frame_equal(a2, b2)
+
+    def test_float32_bitwise(self):
+        s = _names(160, seed=26)
+        kw = dict(min_similarity=0.6, tfidf_matrix_dtype=np.float32)
+        a = sgt.match_strings(s, **kw)
+        b = sgt.match_strings(s, **kw, multihost="sharded")
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_replicated_forced_below_threshold(self):
+        """True/auto keeps the replicated tier for small corpora; the
+        sharded tier engages above SG_TPU_MH_SHARDED_ROWS."""
+        import os
+
+        s = _names(60, seed=27)
+        sg = StringGrouper(s, min_similarity=0.6, multihost=True).fit()
+        assert sg.timings.seconds.get("match.mh_tier") == "replicated"
+        os.environ["SG_TPU_MH_SHARDED_ROWS"] = "10"
+        try:
+            sg2 = StringGrouper(s, min_similarity=0.6, multihost=True).fit()
+        finally:
+            del os.environ["SG_TPU_MH_SHARDED_ROWS"]
+        assert sg2.timings.seconds.get("match.mh_tier") == "sharded"
+        pd.testing.assert_frame_equal(sg.get_matches(), sg2.get_matches())
+
+    def test_no_full_ell_stage_and_mem_accounting(self):
+        """The sharded tier must not run the replicated tier's full-corpus
+        allgather, and reports its memory accounting."""
+        s = _names(150, seed=28)
+        sg = StringGrouper(
+            s, min_similarity=0.6, multihost="sharded"
+        ).fit()
+        keys = sg.timings.seconds
+        assert "match.mh_ell_allgather_s" not in keys
+        assert keys["match.mh_mem_local_ell_bytes"] > 0
+        assert keys["match.mh_mem_replicated_ell_bytes"] >= keys[
+            "match.mh_mem_local_ell_bytes"
+        ]
+
+    def test_randomized_fuzz_vs_single_controller(self):
+        rng = np.random.default_rng(77)
+        for trial in range(5):
+            n = int(rng.integers(30, 220))
+            s = _names(n, seed=3000 + trial)
+            kw = dict(
+                min_similarity=float(rng.choice([0.0, 0.3, 0.6, 0.85])),
+                max_n_matches=int(rng.integers(1, 12)),
+            )
+            if rng.random() < 0.3:
+                kw["tfidf_matrix_dtype"] = np.float32
+            if rng.random() < 0.5:
+                d = _names(int(rng.integers(20, 150)), seed=4000 + trial)
+                a = sgt.match_strings(s, d, **kw)
+                b = sgt.match_strings(s, d, **kw, multihost="sharded")
+            else:
+                a = sgt.match_strings(s, **kw)
+                b = sgt.match_strings(s, **kw, multihost="sharded")
+            pd.testing.assert_frame_equal(a, b)
+
+    def test_edge_cases(self):
+        for s in (pd.Series(["solo"]), pd.Series(["a b c", "a b c", "xyz"])):
+            a = sgt.match_strings(s, min_similarity=0.1)
+            b = sgt.match_strings(s, min_similarity=0.1, multihost="sharded")
+            pd.testing.assert_frame_equal(a, b)
+        s = _names(60, seed=29)
+        a = sgt.match_strings(s, min_similarity=0.5, force_symmetries=False)
+        b = sgt.match_strings(
+            s, min_similarity=0.5, force_symmetries=False, multihost="sharded"
+        )
+        pd.testing.assert_frame_equal(a, b)
+        a = sgt.match_strings(s, min_similarity=0.7, max_n_matches=None)
+        b = sgt.match_strings(
+            s, min_similarity=0.7, max_n_matches=None, multihost="sharded"
+        )
+        pd.testing.assert_frame_equal(a, b)

@@ -16,7 +16,10 @@ import sys
 import time
 
 proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count="
+    + os.environ.get("MHB_DEVS", "2")
+)
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
@@ -38,6 +41,7 @@ from string_grouper_tpu import StringGrouper  # noqa: E402
 
 N = int(os.environ.get("MHB_N", "20000"))
 EDGES = int(os.environ.get("MHB_EDGES", "9000000"))
+TIER = os.environ.get("MHB_TIER", "replicated")
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -47,9 +51,9 @@ from bench import synthetic_company_names  # noqa: E402
 series = synthetic_company_names(N, seed=7)
 
 t0 = time.perf_counter()
-sg = StringGrouper(series, min_similarity=0.8).fit()
+sg = StringGrouper(series, min_similarity=0.8, multihost=TIER).fit()
 fit_s = time.perf_counter() - t0
-assert "match.mh_match_s" in sg.timings.seconds
+assert sg.timings.seconds.get("match.mh_tier") == TIER, sg.timings.seconds
 stages = {
     k.split("mh_")[1]: v
     for k, v in sg.timings.seconds.items()
@@ -59,39 +63,66 @@ t0 = time.perf_counter()
 groups = sg.get_groups()
 groups_s = time.perf_counter() - t0
 print(
-    f"ENGINE {proc_id} n={N} fit={fit_s:.3f} pairs={len(sg._matches_list)} "
+    f"ENGINE {proc_id} tier={TIER} n={N} fit={fit_s:.3f} pairs={len(sg._matches_list)} "
     f"groups={groups_s:.3f} "
     + " ".join(f"{k}={v}" for k, v in sorted(stages.items())),
     flush=True,
 )
 
-# --- distributed grouping at scale: gather + native union-find at ~9M edges
+# --- distributed result-list scale: compact gather (packed 20-bit ids +
+# local exact rescore, the production replicated-tier wire) vs the legacy
+# f64 triple wire, then native union-find at ~9M edges.
 if EDGES:
+    from string_grouper_tpu.corpus.tfidf import EllMatrix
     from string_grouper_tpu.ops.connected_components import (
         connected_components,
     )
-    from string_grouper_tpu.parallel.multihost import _allgather_ragged
+    from string_grouper_tpu.ops.rescore import rescore_pairs_fp64
+    from string_grouper_tpu.parallel.multihost import (
+        _allgather_ragged,
+        _gather_pair_list,
+    )
 
     n_nodes = 663_000
     rng = np.random.default_rng(1)
     per = EDGES // nproc
-    rows = rng.integers(0, n_nodes, size=per)
+    rows = np.sort(rng.integers(0, n_nodes, size=per))
     cols = np.minimum(rows + rng.integers(0, 5, size=per), n_nodes - 1)
+    sims = np.full(per, 0.9)
+
+    # Synthetic exact ELL (width 24) standing in for the replicated
+    # corpus encode the local rescore reads.
+    w = 24
+    ids = np.sort(
+        rng.integers(0, 1 << 18, size=(n_nodes, w), dtype=np.int64), axis=1
+    ).astype(np.int32)
+    vals = rng.random((n_nodes, w))
+    vals /= np.linalg.norm(vals, axis=1, keepdims=True)
+    ell = EllMatrix(ids=ids, vals64=vals, n_terms=1 << 18)
+
+    t0 = time.perf_counter()
+    rg, cg, sg_ = _gather_pair_list(
+        rows, cols, sims, n_nodes, n_nodes,
+        rescore=lambda r, c: rescore_pairs_fp64(ell, ell, r, c),
+    )
+    gather_s = time.perf_counter() - t0
+
+    # Legacy wire for the A/B.
     wire = np.empty((per, 3), dtype=np.float64)
     wire[:, 0] = rows
     wire[:, 1] = cols
-    wire[:, 2] = 0.9
+    wire[:, 2] = sims
     t0 = time.perf_counter()
     allp = np.concatenate(_allgather_ragged(wire))
-    gather_s = time.perf_counter() - t0
+    legacy_s = time.perf_counter() - t0
+
     t0 = time.perf_counter()
-    labels = connected_components(
-        allp[:, 0].astype(np.int64), allp[:, 1].astype(np.int64), n_nodes
-    )
+    labels = connected_components(rg, cg, n_nodes)
     cc_s = time.perf_counter() - t0
     print(
-        f"GROUPSCALE {proc_id} edges={len(allp)} gather={gather_s:.3f} "
-        f"cc={cc_s:.3f} n_groups={len(np.unique(labels))}",
+        f"GROUPSCALE {proc_id} edges={len(rg)} gather={gather_s:.3f} "
+        f"legacy_gather={legacy_s:.3f} cc={cc_s:.3f} "
+        f"n_groups={len(np.unique(labels))}",
         flush=True,
     )
 print(f"BENCH_OK {proc_id}", flush=True)

@@ -252,11 +252,23 @@ class StringGrouper:
                 # p1_wait) overlaps the collapse/setup host stages; the
                 # matcher gathers unique rows from it on device (bitwise-
                 # equal to a subset ship -- ops/matcher.prefetch_corpus_hash).
-                from .ops.matcher import prefetch_corpus_hash
+                # Skipped when the matcher will pipeline column-chunked
+                # uploads instead (large self-joins): a full upload queued
+                # ahead of the chunks would serialize the very head the
+                # pipeline overlaps with the scan.
+                from .ops.matcher import (
+                    chunked_p1_will_engage,
+                    prefetch_corpus_hash,
+                )
 
-                prefetch_corpus_hash(master_ell, self._config.hash_dim)
-                if not is_self:
-                    prefetch_corpus_hash(dupes_ell, self._config.hash_dim)
+                if not chunked_p1_will_engage(
+                    len(self._master), is_self, self._config.min_similarity
+                ):
+                    prefetch_corpus_hash(master_ell, self._config.hash_dim)
+                    if not is_self:
+                        prefetch_corpus_hash(
+                            dupes_ell, self._config.hash_dim
+                        )
         self._master_ell = master_ell
         self._dupes_ell = None if is_self else dupes_ell
 

@@ -63,7 +63,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..corpus.tfidf import EllMatrix
-from .pallas_kernels import p1_fused_closed2, p1_fused_supported
+from .pallas_kernels import (
+    p1_chain_init,
+    p1_fused_chain,
+    p1_fused_closed2,
+    p1_fused_supported,
+)
 from .rescore import rescore_pairs_fp64
 
 import logging
@@ -117,6 +122,50 @@ def fused_enabled() -> bool:
     for CPU tests, the mesh path, escalation re-matches, and thresholdless
     runs."""
     return os.environ.get("SG_TPU_FUSED", "1") != "0"
+
+
+# Column-chunked upload pipeline: OPT-IN (SG_TPU_CHUNKED_P1=1).  The
+# chained-pass machinery is correct (bitwise, tests/test_pallas_kernels.py)
+# and overlaps the serial payload-upload head with the MXU scan, but on the
+# tunneled dev TPU the extra per-pass dispatch round-trips cost MORE than
+# the ~0.6 s head they hide: measured +0.3 s at 663k for G=2 (worse for
+# G=3/4) -- see UPLOAD_PIPELINE_AB_r05.json.  On a locally-attached TPU
+# (sub-ms dispatch) the trade should flip; the knob keeps it measurable.
+_CHUNKED_P1_MIN_ROWS = 200_000
+#: Right-chunk count G: chunk-0's upload (~1/G of the head) is the only
+#: serial exposure; each extra group adds per-pass dispatch round-trips,
+#: so small G wins (swept on v5e at 663k).
+_CHUNKED_P1_GROUPS = int(os.environ.get("SG_TPU_CHUNKED_P1_GROUPS", "2"))
+
+
+def _chunked_p1_size_ok(n_right: int) -> bool:
+    return (
+        n_right >= _CHUNKED_P1_MIN_ROWS
+        and os.environ.get("SG_TPU_CHUNKED_P1", "0") == "1"
+    )
+
+
+def chunked_p1_will_engage(n_rows: int, is_self: bool,
+                           min_similarity: float) -> bool:
+    """Engine-side predicate: will the matcher run the column-chunked
+    upload pipeline for this fit?  When True the engine SKIPS the
+    full-corpus payload prefetch (``prefetch_corpus_hash``) -- the chunked
+    uploads replace it, and a full upload queued ahead of them on the wire
+    would serialize exactly the head the pipeline removes."""
+    try:
+        import jax
+
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    return (
+        on_tpu
+        and is_self
+        and fused_enabled()
+        and device_encode_enabled()
+        and effective_threshold(min_similarity) > 0
+        and _chunked_p1_size_ok(n_rows)
+    )
 
 
 @dataclass
@@ -1118,36 +1167,138 @@ def _phase1_single(
         idx[:n_valid] = sel
         return _gather_pad_rows(full, jnp.asarray(idx), n_valid, n_pad)
 
-    if right_sel is None:
-        b_hash = build_hash_matrix(right, n_right_p, hash_dim)
-    else:
-        b_hash = build_selected(right, right_sel, n_right, n_right_p)
-    b_hash_tiles = b_hash.reshape(n_right_p // tile, tile, hash_dim)
-    if is_self and n_left_p <= n_right_p:
-        a_hash_chunks = b_hash[:n_left_p].reshape(-1, chunk, hash_dim)
-    elif left_sel is None:
-        a_hash_chunks = build_hash_matrix(left, n_left_p, hash_dim).reshape(
-            -1, chunk, hash_dim
-        )
-    else:
-        a_hash_chunks = build_selected(
-            left, left_sel, n_left, n_left_p
-        ).reshape(-1, chunk, hash_dim)
-
-    # Segment the left side so host-side exact scoring of one segment
-    # overlaps the device matching of the next (JAX dispatches are async;
-    # np.asarray blocks per segment only).  Each dispatch costs a tunnel
-    # round-trip, so small corpora use fewer segments.
-    n_chunks = n_left_p // chunk
-    n_seg = min(8, max(1, n_chunks // 8))
-    cpg = -(-n_chunks // n_seg)  # chunks per segment
-    if n_chunks % cpg:
-        extra = cpg - n_chunks % cpg
-        pad = jnp.zeros((extra, chunk, hash_dim), a_hash_chunks.dtype)
-        a_hash_chunks = jnp.concatenate([a_hash_chunks, pad])
-        n_chunks += extra
+    # Segment geometry (pure arithmetic; the hashes build below).  Segments
+    # let host-side exact scoring of one segment overlap the device
+    # matching of the next (JAX dispatches are async; np.asarray blocks per
+    # segment only).  Each dispatch costs a tunnel round-trip, so small
+    # corpora use fewer segments.
+    n_chunks0 = n_left_p // chunk
+    n_seg = min(8, max(1, n_chunks0 // 8))
+    cpg = -(-n_chunks0 // n_seg)  # chunks per segment
+    n_chunks = -(-n_chunks0 // cpg) * cpg
     n_seg = n_chunks // cpg
     seg_rows = cpg * chunk
+    n_left_seg_p = n_chunks * chunk  # left rows incl. segment padding
+
+    # Column-chunked upload pipeline (self-join byte-payload corpora): the
+    # right hash uploads in G segment-aligned chunks and phase 1 runs as
+    # independent per-chunk PASSES merged bitwise (pallas_kernels.
+    # p1_merge_passes), so the serial upload head overlaps the MXU scan
+    # instead of preceding it.  The engine skips the full-corpus prefetch
+    # when this will engage (chunked_p1_will_engage).
+    chunk_src = getattr(right, "device_src", None)
+    chunked_ok = (
+        on_tpu
+        and fused_enabled()
+        and is_self
+        and chunk_src is not None
+        and device_encode_enabled()
+        and _chunked_p1_size_ok(n_right)
+        and seg_rows % tile == 0
+        and n_seg > 1
+        and _prefetched_hash(chunk_src, hash_dim) is None
+    )
+
+    # Chunk bounds over the right padded space, aligned to segment
+    # boundaries (so every left segment's rows live in one chunk).
+    if chunked_ok:
+        n_groups = min(_CHUNKED_P1_GROUPS, n_seg)
+        spg = -(-n_seg // n_groups)  # segments per chunk group
+        bounds = [
+            (
+                min(k * spg * seg_rows, n_right_p),
+                min((k + 1) * spg * seg_rows, n_right_p),
+            )
+            for k in range(n_groups)
+        ]
+        bounds = [(lo, hi) for lo, hi in bounds if hi > lo]
+        n_groups = len(bounds)
+        right_rows = (
+            right_sel if right_sel is not None
+            else np.arange(n_right, dtype=np.int64)
+        )
+        _chunks: list = [None] * n_groups
+
+        def get_chunk(k: int):
+            """Return chunk k's device hash block.  The FIRST call submits
+            every chunk's build to the prefetch worker (in order), so later
+            chunks' host gathers + uploads overlap the passes already
+            queued against earlier chunks."""
+            if _chunks[k] is None:
+                for q in range(n_groups):
+                    if _chunks[q] is not None:
+                        continue
+                    lo, hi = bounds[q]
+                    sel_q = np.ascontiguousarray(
+                        right_rows[lo:min(hi, n_right)]
+                    )
+                    _chunks[q] = _PREFETCH_POOL.submit(
+                        _build_hash_from_codes,
+                        chunk_src.take_rows(sel_q), hi - lo, hash_dim,
+                    )
+            return _chunks[k].result()
+    else:
+        n_groups = 0
+        bounds = []
+
+    _dense: dict = {}
+
+    def dense_b():
+        """(n_right_p, d) right hash -- concat of chunks in chunked mode
+        (bitwise the direct build: chunk bounds are tile-aligned row
+        ranges of the same padded layout)."""
+        if "b" not in _dense:
+            if chunked_ok:
+                _dense["b"] = jnp.concatenate(
+                    [get_chunk(k) for k in range(n_groups)]
+                )
+            elif right_sel is None:
+                _dense["b"] = build_hash_matrix(right, n_right_p, hash_dim)
+            else:
+                _dense["b"] = build_selected(
+                    right, right_sel, n_right, n_right_p
+                )
+        return _dense["b"]
+
+    def dense_a_chunks():
+        if "a" not in _dense:
+            b_hash = dense_b()
+            if is_self and n_left_p <= n_right_p:
+                a_c = b_hash[:n_left_p].reshape(-1, chunk, hash_dim)
+            elif left_sel is None:
+                a_c = build_hash_matrix(left, n_left_p, hash_dim).reshape(
+                    -1, chunk, hash_dim
+                )
+            else:
+                a_c = build_selected(
+                    left, left_sel, n_left, n_left_p
+                ).reshape(-1, chunk, hash_dim)
+            if n_chunks > n_chunks0:
+                pad = jnp.zeros(
+                    (n_chunks - n_chunks0, chunk, hash_dim), a_c.dtype
+                )
+                a_c = jnp.concatenate([a_c, pad])
+            _dense["a"] = a_c
+        return _dense["a"]
+
+    def a_segment(s: int):
+        """Left segment s's (seg_rows, d) hash rows.  Chunked mode slices
+        the owning chunk directly (zero-padding past the right edge) so a
+        segment's pass can start before later chunks upload."""
+        if not chunked_ok:
+            return dense_a_chunks().reshape(-1, hash_dim)[
+                s * seg_rows:(s + 1) * seg_rows
+            ]
+        r0, r1 = s * seg_rows, (s + 1) * seg_rows
+        k = min(s // spg, n_groups - 1)
+        lo, hi = bounds[k]
+        blk = get_chunk(k)[max(r0 - lo, 0):max(min(r1, hi) - lo, 0)]
+        if blk.shape[0] < seg_rows:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((seg_rows - blk.shape[0], hash_dim),
+                                blk.dtype)]
+            )
+        return blk
 
     def run_stream(thr_eff, cand_c, k_tile):
         """Yield ``(rows, cols, base, rows_here, bound, counts, tmax,
@@ -1168,7 +1319,68 @@ def _phase1_single(
         # qualifies -- nothing to compact) or the full ship is small anyway.
         do_compact = thr_eff > 0 and cand_c > _SHIP_BUDGET_ROWS
         budget = -(-seg_rows * _SHIP_BUDGET_ROWS // 1024) * 1024
+        use_chunked = (
+            chunked_ok
+            and use_fused
+            and all(
+                p1_fused_supported(seg_rows, hi - lo, hash_dim, tile, cand_c)
+                for lo, hi in bounds
+            )
+        )
         futs = []
+        if use_chunked:
+            # Column-chunked pipeline: each segment's scan runs as CHAINED
+            # per-chunk passes (pallas_kernels.p1_fused_chain -- the same
+            # in-kernel running merge, state carried between chunks, so
+            # the sequence of rank-inserts is bitwise one full-corpus
+            # pass).  A pass dispatches at step k = max(chunk_of(seg),
+            # chunk), i.e. as soon as both its left rows and its right
+            # chunk have uploaded -- the serial upload head overlaps the
+            # MXU scan instead of preceding it.
+            state: dict = {}
+            final: dict = {}
+            for k in range(n_groups):
+                get_chunk(k)  # dispatch upload k (worker thread, in order)
+                for s in range(n_seg):
+                    cs = min(s // spg, n_groups - 1)
+                    for p in range(n_groups):
+                        if max(cs, p) != k:
+                            continue
+                        st = (
+                            p1_chain_init(seg_rows, cand_c)
+                            if p == 0
+                            else state.pop(s)
+                        )
+                        out = p1_fused_chain(
+                            a_segment(s), get_chunk(p), thr,
+                            bounds[p][0], *st, tile=tile, cand_c=cand_c,
+                        )
+                        if p == n_groups - 1:
+                            final[s] = out[:5]
+                        else:
+                            state[s] = out[5:]
+            for s in range(n_seg):
+                cols2, counts, tmax, bound, max_cnt = final[s]
+                if do_compact:
+                    flat, n_i = _compact_cols(cols2, budget)
+                    wire = _join_wire(
+                        _pack_meta(counts, tmax, bound, n_i),
+                        _ship_cols(flat, n_right_p),
+                    )
+                else:
+                    wire = _pack_meta(counts, tmax, bound)
+                futs.append((wire, cols2, do_compact, max_cnt))
+            yield from _consume_stream(
+                futs, budget, n_right_p, seg_rows, n_left, n_right
+            )
+            return
+        if use_fused:
+            b_hash = dense_b()
+        else:
+            b_hash_tiles = dense_b().reshape(
+                n_right_p // tile, tile, hash_dim
+            )
+            a_hash_chunks = dense_a_chunks()
         for g in range(n_seg):
             if use_fused:
                 # Fused Pallas phase 1: matmul + closed-form kt=2 extraction
@@ -1177,8 +1389,7 @@ def _phase1_single(
                 # matrix it returns has the same descending-UB valid-prefix
                 # invariant as the XLA path's finalize_ship output.
                 cols2, counts, tmax, bound, max_cnt = p1_fused_closed2(
-                    a_flat[g * seg_rows : (g + 1) * seg_rows],
-                    b_hash, thr, tile=tile, cand_c=cand_c,
+                    a_segment(g), b_hash, thr, tile=tile, cand_c=cand_c,
                 )
             else:
                 cols, bound, counts, tmax, max_cnt = _corpus_match(
@@ -1199,8 +1410,6 @@ def _phase1_single(
             futs, budget, n_right_p, seg_rows, n_left, n_right
         )
 
-    a_flat = a_hash_chunks.reshape(-1, hash_dim)
-
     def run_rows(row_idx: np.ndarray, thr_eff, cand_c, k_tile,
                  budget_hint: Optional[int] = None, defer: bool = False):
         """Phase 1 restricted to the given left rows (hot-row escalation):
@@ -1219,7 +1428,12 @@ def _phase1_single(
         m_p = -(-m // chunk) * chunk
         idx = np.zeros(m_p, dtype=np.int32)
         idx[:m] = row_idx
-        a_sel = a_flat[jnp.asarray(idx)]
+        if "a_flat" not in _dense:
+            # Chunked pipelines reach here only after every chunk is on
+            # device (escalation follows the scan), so this is a device
+            # concat, not a re-upload.
+            _dense["a_flat"] = dense_a_chunks().reshape(-1, hash_dim)
+        a_sel = _dense["a_flat"][jnp.asarray(idx)]
         if m_p > m:
             # Zero the padding rows (instead of duplicating row idx[0]) so
             # they produce no candidates and no download bytes.
@@ -1237,14 +1451,15 @@ def _phase1_single(
             # eligibility as the streamed scan, so the measured phase-1
             # win also covers this leg (VERDICT r3 item 2 leftovers).
             cols2, counts, _tmax, ub_last, max_cnt = p1_fused_closed2(
-                a_sel, b_hash, jnp.float32(thr_eff),
+                a_sel, dense_b(), jnp.float32(thr_eff),
                 tile=tile, cand_c=cand_c,
             )
         else:
             a_chunks_sel = a_sel.reshape(-1, chunk, hash_dim)
             cols, ub_last, counts, _tmax, max_cnt = _corpus_match(
-                a_chunks_sel, b_hash_tiles, jnp.float32(thr_eff), cand_c,
-                k_tile,
+                a_chunks_sel,
+                dense_b().reshape(n_right_p // tile, tile, hash_dim),
+                jnp.float32(thr_eff), cand_c, k_tile,
             )
             cols2 = cols.reshape(-1, cols.shape[-1])
         w = cols2.shape[-1]

@@ -179,6 +179,185 @@ def p1_fused_closed2(
     return ship, counts, tmax_r, bnd[:, 0], tmax_r.max()
 
 
+# ------------------------------------------------ column-chunked chain form
+def _p1_chain_body(off_ref, thr_ref, a_ref, b_ref, vin_ref, cin_ref, min_ref,
+                   ship_ref, cnt_ref, tmax_ref, bnd_ref,
+                   vout_ref, cout_ref, mout_ref,
+                   v_ref, c_ref, meta_ref):
+    """``_p1_body`` with the running state as kernel I/O: one PASS over a
+    column chunk of the right corpus, resuming from the previous chunk's
+    state -- the chain over chunks is bitwise one full-corpus pass (same
+    rank-insert sequence in the same tile order).  ``off_ref`` carries the
+    chunk's global column offset; meta is packed f32 [cnt, tmax, nfin, tb]
+    (exact for counts < 2^24).  Final-pass consumers read ship/cnt/tmax/
+    bnd; intermediate passes read only the state outputs (ship/bnd are
+    still written -- their truncation term only covers THIS prefix of the
+    corpus, which is exactly the invariant the chain maintains)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    bm = a_ref.shape[0]
+    bn = b_ref.shape[0]
+    cand_c = v_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        v_ref[:] = vin_ref[:]
+        c_ref[:] = cin_ref[:]
+        meta_ref[:] = min_ref[:]
+
+    thr = thr_ref[0, 0]
+    s = jnp.dot(a_ref[:], b_ref[:].T, preferred_element_type=jnp.float32)
+    mask = s >= thr
+    ubm = jnp.where(mask, s, _NEG)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+    cnt = mask.sum(axis=1, dtype=jnp.int32)
+    s1 = jnp.where(mask, col_iota, 0).sum(axis=1, dtype=jnp.int32)
+    vmax = ubm.max(axis=1)
+    cmax = jnp.argmax(ubm, axis=1).astype(jnp.int32)
+    vmax2 = jnp.where(col_iota == cmax[:, None], _NEG, ubm).max(axis=1)
+    other = s1 - cmax
+    have1 = cnt >= 1
+    have2 = cnt == 2
+    off = off_ref[0, 0] + j * bn
+    p0 = jnp.where(have1, vmax, _NEG)
+    p1 = jnp.where(have2, vmax2, _NEG)
+    q0 = jnp.where(have1, cmax, 0) + off
+    q1 = jnp.where(have2, other, 0) + off
+
+    m = meta_ref[:]
+    cntf = cnt.astype(jnp.float32)
+    meta_ref[:] = jnp.stack(
+        [
+            m[:, 0] + cntf,
+            jnp.maximum(m[:, 1], cntf),
+            m[:, 2]
+            + (have1.astype(jnp.int32) + have2.astype(jnp.int32)).astype(
+                jnp.float32
+            ),
+            jnp.maximum(m[:, 3], jnp.where(cnt > 2, vmax2, _NEG)),
+            m[:, 4], m[:, 5], m[:, 6], m[:, 7],
+        ],
+        axis=1,
+    )
+    new_v, new_c = _rank_insert2(v_ref[:], c_ref[:], p0, p1, q0, q1)
+    v_ref[:] = new_v
+    c_ref[:] = new_c
+
+    @pl.when(j == nj - 1)
+    def _():
+        vout_ref[:] = new_v
+        cout_ref[:] = new_c
+        mm = meta_ref[:]
+        mout_ref[:] = mm
+        cnt_ref[:] = mm[:, 0:1].astype(jnp.int32)
+        tmax_ref[:] = mm[:, 1:2].astype(jnp.int32)
+        trunc = jnp.where(mm[:, 2] > cand_c, new_v[:, cand_c - 1], _NEG)
+        bnd_ref[:] = jnp.maximum(mm[:, 3:4], trunc[:, None])
+        ship_ref[:] = jnp.where(new_v > _NEG, new_c, -1)
+
+
+def p1_chain_init(m: int, cand_c: int):
+    """Device-resident initial chain state (no wire traffic)."""
+    return (
+        jnp.full((m, cand_c), _NEG, jnp.float32),
+        jnp.zeros((m, cand_c), jnp.int32),
+        jnp.concatenate(
+            [
+                jnp.zeros((m, 3), jnp.float32),
+                jnp.full((m, 1), _NEG, jnp.float32),
+                jnp.zeros((m, 4), jnp.float32),
+            ],
+            axis=1,
+        ),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tile", "cand_c", "block_m", "interpret"),
+    donate_argnums=(4, 5, 6),
+)
+def p1_fused_chain(
+    a_hash: jax.Array,  # (m, d) bf16 -- one left segment
+    b_chunk: jax.Array,  # (n_chunk, d) bf16 -- one right column chunk
+    thr_eff: jax.Array,  # f32 scalar
+    col_off: jax.Array,  # i32 scalar: chunk's global column offset
+    v_in: jax.Array,  # (m, cand_c) f32 running values (donated)
+    c_in: jax.Array,  # (m, cand_c) i32 running cols (donated)
+    meta_in: jax.Array,  # (m, 8) f32 [cnt, tmax, nfin, tb, ...] (donated)
+    tile: int = 4096,
+    cand_c: int = 64,
+    block_m: int = 512,
+    interpret: bool = False,
+):
+    """One chunk PASS of the chained phase 1 (see ``_p1_chain_body``).
+    Returns ``(ship, counts, tmax, bound, max_cnt, v, c, meta)``; chain
+    the state triple into the next chunk's call, read the result fields
+    from the LAST chunk's call -- bitwise ``p1_fused_closed2`` over the
+    concatenated right block (tests/test_pallas_kernels.py)."""
+    m, d = a_hash.shape
+    n = b_chunk.shape[0]
+    n_tiles = n // tile
+    bm = min(block_m, m)
+    grid = (m // bm, n_tiles)
+    thr2 = jnp.asarray(thr_eff, jnp.float32).reshape(1, 1)
+    off2 = jnp.asarray(col_off, jnp.int32).reshape(1, 1)
+    row_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    ship, cnt, tmax, bnd, vout, cout, mout = pl.pallas_call(
+        _p1_chain_body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            row_spec((bm, d)),
+            pl.BlockSpec((tile, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            row_spec((bm, cand_c)),
+            row_spec((bm, cand_c)),
+            row_spec((bm, 8)),
+        ],
+        out_specs=[
+            row_spec((bm, cand_c)),
+            row_spec((bm, 1)),
+            row_spec((bm, 1)),
+            row_spec((bm, 1)),
+            row_spec((bm, cand_c)),
+            row_spec((bm, cand_c)),
+            row_spec((bm, 8)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, cand_c), jnp.int32),
+            jax.ShapeDtypeStruct((m, 1), jnp.int32),
+            jax.ShapeDtypeStruct((m, 1), jnp.int32),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m, cand_c), jnp.float32),
+            jax.ShapeDtypeStruct((m, cand_c), jnp.int32),
+            jax.ShapeDtypeStruct((m, 8), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bm, cand_c), jnp.float32),
+            pltpu.VMEM((bm, cand_c), jnp.int32),
+            pltpu.VMEM((bm, 8), jnp.float32),
+        ],
+        input_output_aliases={4: 4, 5: 5, 6: 6},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * d,
+            bytes_accessed=m * d * 2 + (m // bm) * n * d * 2
+            + m * cand_c * 12,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(off2, thr2, a_hash, b_chunk, v_in, c_in, meta_in)
+    counts = cnt[:, 0]
+    tmax_r = tmax[:, 0]
+    return ship, counts, tmax_r, bnd[:, 0], tmax_r.max(), vout, cout, mout
+
+
 # --------------------------------------------------------------- triangular
 def _rank_insert2(v, c, p0, p1, q0, q1):
     """Merge two new (value, col) candidates per row -- p0 >= p1, -inf for

@@ -728,7 +728,8 @@ def multihost_sharded_fit_pairs(
     if n_m == 0 or n_right == 0 or max_n_eff <= 0:
         t["match_s"] = 0.0
         return _finish_sharded(
-            _empty_pairs(), master, is_self, config, n_m, t, time.perf_counter()
+            _empty_pairs(), master, is_self, config, n_m, n_right, t,
+            time.perf_counter(),
         )
 
     # --- phase 1: sharded right hash, device-replicated left hash.
@@ -903,25 +904,23 @@ def multihost_sharded_fit_pairs(
         rows=r_s, cols=c_s, sims=s_s, true_max_n_matches=0
     )
     return _finish_sharded(
-        pairs_local, master, is_self, config, n_m, t, t0, row_offset=llo
+        pairs_local, master, is_self, config, n_m, n_right, t, t0,
+        row_offset=llo,
     )
 
 
 def _finish_sharded(
     pairs_local: MatchPairs, master, is_self: bool,
-    config: StringGrouperConfig, n_m: int, t: dict, t0: float,
-    row_offset: int = 0,
+    config: StringGrouperConfig, n_m: int, n_right: int, t: dict,
+    t0: float, row_offset: int = 0,
 ) -> Tuple[MatchPairs, dict]:
-    """Result gather + global fix-ups shared with the replicated tier."""
-    wire = np.empty((len(pairs_local.rows), 3), dtype=np.float64)
-    wire[:, 0] = pairs_local.rows + row_offset
-    wire[:, 1] = pairs_local.cols
-    wire[:, 2] = pairs_local.sims
-    parts = _allgather_ragged(wire)
-    allp = np.concatenate(parts)
-    rows_g = allp[:, 0].astype(np.int64)
-    cols_g = allp[:, 1].astype(np.int64)
-    sims_g = np.ascontiguousarray(allp[:, 2])
+    """Result gather + global fix-ups shared with the replicated tier.
+    Ids ride packed (20-bit) when they fit; sims ship as f64 -- this tier
+    holds no full corpus ELL to rescore against."""
+    rows_g, cols_g, sims_g = _gather_pair_list(
+        pairs_local.rows + row_offset, pairs_local.cols, pairs_local.sims,
+        n_m, n_right, rescore=None,
+    )
     true_max = (
         int(np.bincount(rows_g, minlength=n_m).max(initial=0))
         if len(rows_g)
@@ -1041,6 +1040,78 @@ def _allgather_full_ell(local_ell: EllMatrix) -> EllMatrix:
     return replace(full, device_src=full_src)
 
 
+def _np_pack20(v: np.ndarray) -> np.ndarray:
+    """Host 20-bit field packing (8 ids -> 5 uint32 words), byte-identical
+    to the device wire's ``_pack20`` (ops/matcher.py) so one ``_unpack20``
+    serves both."""
+    n = len(v)
+    npad = -(-max(n, 1) // 8) * 8
+    x = np.zeros(npad, dtype=np.uint32)
+    x[:n] = v.astype(np.uint32)
+    x = x.reshape(-1, 8)
+    w0 = x[:, 0] | (x[:, 1] << 20)
+    w1 = (x[:, 1] >> 12) | (x[:, 2] << 8) | (x[:, 3] << 28)
+    w2 = (x[:, 3] >> 4) | (x[:, 4] << 16)
+    w3 = (x[:, 4] >> 16) | (x[:, 5] << 4) | (x[:, 6] << 24)
+    w4 = (x[:, 6] >> 8) | (x[:, 7] << 12)
+    return np.stack([w0, w1, w2, w3, w4], axis=1).reshape(-1)
+
+
+def _gather_pair_list(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    sims: np.ndarray,
+    n_m: int,
+    n_right: int,
+    rescore=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Allgather per-shard pair lists into the global (rows, cols, sims).
+
+    When ids fit 20 bits they ride as packed 20-bit fields (5/8 the bytes
+    of raw int32, 1/3 of the legacy f64 triple wire), and -- when
+    ``rescore`` is given (replicated tier: every host holds the full exact
+    ELLs) -- similarities are RECOMPUTED locally instead of shipped,
+    removing 8 of every 24 legacy wire bytes.  The recomputation is
+    bitwise the matcher's own scoring (the matcher's sims ARE
+    ``rescore_pairs_fp64`` outputs for the same (row, col) pairs; the
+    per-pair merge is deterministic).  Net: the 9M-edge result gather
+    drops ~4.8x in bytes (measured in MULTIHOST_BENCH_r05).  Ids beyond
+    20 bits fall back to the legacy wire."""
+    if max(n_m, n_right, 1) > (1 << 20):
+        wire = np.empty((len(rows), 3), dtype=np.float64)
+        wire[:, 0] = rows
+        wire[:, 1] = cols
+        wire[:, 2] = sims
+        allp = np.concatenate(_allgather_ragged(wire))
+        return (
+            allp[:, 0].astype(np.int64),
+            allp[:, 1].astype(np.int64),
+            np.ascontiguousarray(allp[:, 2]),
+        )
+    from ..ops.matcher import _unpack20
+
+    m = len(rows)
+    wire = np.concatenate(
+        [np.array([m], np.uint32), _np_pack20(rows), _np_pack20(cols)]
+    )
+    parts = _allgather_ragged(wire)
+    rows_l, cols_l = [], []
+    for part in parts:
+        mp = int(part[0])
+        k = (len(part) - 1) // 2
+        rows_l.append(_unpack20(part[1:1 + k], mp))
+        cols_l.append(_unpack20(part[1 + k:], mp))
+    rows_g = np.concatenate(rows_l)
+    cols_g = np.concatenate(cols_l)
+    if rescore is not None:
+        sims_g = rescore(rows_g, cols_g)
+    else:
+        sims_g = np.concatenate(
+            _allgather_ragged(np.ascontiguousarray(sims))
+        )
+    return rows_g, cols_g, sims_g
+
+
 def _empty_pairs() -> MatchPairs:
     return MatchPairs(
         rows=np.zeros(0, dtype=np.int64),
@@ -1155,18 +1226,21 @@ def multihost_fit_pairs(
         pairs_local = _empty_pairs()
     t["match_s"] = time.perf_counter() - t0
 
-    # One packed f64 collective gathers every shard's pair list (row and
-    # column ids are < 2^53, hence exact in f64).
+    # Compact result gather: packed 20-bit ids; sims recomputed locally
+    # (every host holds the full exact ELLs on this tier) -- see
+    # _gather_pair_list.
     t0 = time.perf_counter()
-    wire = np.empty((len(pairs_local.rows), 3), dtype=np.float64)
-    wire[:, 0] = pairs_local.rows + lo_l
-    wire[:, 1] = pairs_local.cols
-    wire[:, 2] = pairs_local.sims
-    parts = _allgather_ragged(wire)
-    allp = np.concatenate(parts)
-    rows_g = allp[:, 0].astype(np.int64)
-    cols_g = allp[:, 1].astype(np.int64)
-    sims_g = np.ascontiguousarray(allp[:, 2])
+
+    def rescore_local(rg, cg):
+        return rescore_pairs_fp64(
+            full_master, full_right, rg, cg,
+            acc_dtype=config.tfidf_matrix_dtype,
+        )
+
+    rows_g, cols_g, sims_g = _gather_pair_list(
+        pairs_local.rows + lo_l, pairs_local.cols, pairs_local.sims,
+        n_m, n_right, rescore=rescore_local,
+    )
     true_max = (
         int(np.bincount(rows_g, minlength=n_m).max(initial=0))
         if len(rows_g)

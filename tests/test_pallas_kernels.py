@@ -112,3 +112,47 @@ def test_fused_truncation_bound():
     np.testing.assert_array_equal(np.asarray(tmax), o_tmax)
     np.testing.assert_array_equal(np.asarray(bound), o_bound)
     assert np.isfinite(np.asarray(bound)).all()  # every row truncates here
+
+
+def test_chained_passes_equal_single_pass():
+    """Column-chunked phase 1 (chained per-right-chunk passes,
+    ``p1_fused_chain``) must be BITWISE equal to one full-corpus pass --
+    including tied UB values (duplicated right rows), truncation, and
+    drop bounds.  This is the correctness contract of the chunked upload
+    pipeline (ops/matcher.py run_stream use_chunked branch)."""
+    from string_grouper_tpu.ops.pallas_kernels import (
+        p1_chain_init,
+        p1_fused_chain,
+    )
+
+    rng = np.random.default_rng(11)
+    m, d, tile, cand = 512, 128, 256, 16
+    n_chunks = [1024, 768, 512]  # unequal, tile-aligned
+    n = sum(n_chunks)
+    a = jnp.asarray(
+        (rng.random((m, d)) * 0.15).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    bf = (rng.random((n, d)) * 0.15).astype(np.float32)
+    bf[100] = bf[50]
+    bf[1300] = bf[50]  # cross-chunk tie
+    bf[2000] = bf[701]
+    b_full = jnp.asarray(bf).astype(jnp.bfloat16)
+    thr = jnp.float32(0.8)
+
+    single = p1_fused_closed2(
+        a, b_full, thr, tile=tile, cand_c=cand, block_m=256, interpret=True
+    )
+    starts = np.concatenate(([0], np.cumsum(n_chunks)))
+    st = p1_chain_init(m, cand)
+    for k, nc in enumerate(n_chunks):
+        out = p1_fused_chain(
+            a, b_full[starts[k]:starts[k + 1]], thr, int(starts[k]), *st,
+            tile=tile, cand_c=cand, block_m=256, interpret=True,
+        )
+        st = out[5:]
+    for got, want, name in zip(
+        out[:5], single, ("ship", "counts", "tmax", "bound", "max_cnt")
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=name
+        )

@@ -70,14 +70,12 @@ print(
 )
 
 # --- distributed result-list scale: compact gather (packed 20-bit ids +
-# local exact rescore, the production replicated-tier wire) vs the legacy
-# f64 triple wire, then native union-find at ~9M edges.
+# f64 sims, the production wire) vs the legacy f64 triple wire, then
+# native union-find at ~9M edges.
 if EDGES:
-    from string_grouper_tpu.corpus.tfidf import EllMatrix
     from string_grouper_tpu.ops.connected_components import (
         connected_components,
     )
-    from string_grouper_tpu.ops.rescore import rescore_pairs_fp64
     from string_grouper_tpu.parallel.multihost import (
         _allgather_ragged,
         _gather_pair_list,
@@ -90,21 +88,10 @@ if EDGES:
     cols = np.minimum(rows + rng.integers(0, 5, size=per), n_nodes - 1)
     sims = np.full(per, 0.9)
 
-    # Synthetic exact ELL (width 24) standing in for the replicated
-    # corpus encode the local rescore reads.
-    w = 24
-    ids = np.sort(
-        rng.integers(0, 1 << 18, size=(n_nodes, w), dtype=np.int64), axis=1
-    ).astype(np.int32)
-    vals = rng.random((n_nodes, w))
-    vals /= np.linalg.norm(vals, axis=1, keepdims=True)
-    ell = EllMatrix(ids=ids, vals64=vals, n_terms=1 << 18)
-
+    # Warm the collective programs so the measured rep excludes compiles.
+    _gather_pair_list(rows[:64], cols[:64], sims[:64], n_nodes, n_nodes)
     t0 = time.perf_counter()
-    rg, cg, sg_ = _gather_pair_list(
-        rows, cols, sims, n_nodes, n_nodes,
-        rescore=lambda r, c: rescore_pairs_fp64(ell, ell, r, c),
-    )
+    rg, cg, sg_ = _gather_pair_list(rows, cols, sims, n_nodes, n_nodes)
     gather_s = time.perf_counter() - t0
 
     # Legacy wire for the A/B.

@@ -919,7 +919,7 @@ def _finish_sharded(
     holds no full corpus ELL to rescore against."""
     rows_g, cols_g, sims_g = _gather_pair_list(
         pairs_local.rows + row_offset, pairs_local.cols, pairs_local.sims,
-        n_m, n_right, rescore=None,
+        n_m, n_right,
     )
     true_max = (
         int(np.bincount(rows_g, minlength=n_m).max(initial=0))
@@ -1063,20 +1063,17 @@ def _gather_pair_list(
     sims: np.ndarray,
     n_m: int,
     n_right: int,
-    rescore=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Allgather per-shard pair lists into the global (rows, cols, sims).
 
-    When ids fit 20 bits they ride as packed 20-bit fields (5/8 the bytes
-    of raw int32, 1/3 of the legacy f64 triple wire), and -- when
-    ``rescore`` is given (replicated tier: every host holds the full exact
-    ELLs) -- similarities are RECOMPUTED locally instead of shipped,
-    removing 8 of every 24 legacy wire bytes.  The recomputation is
-    bitwise the matcher's own scoring (the matcher's sims ARE
-    ``rescore_pairs_fp64`` outputs for the same (row, col) pairs; the
-    per-pair merge is deterministic).  Net: the 9M-edge result gather
-    drops ~4.8x in bytes (measured in MULTIHOST_BENCH_r05).  Ids beyond
-    20 bits fall back to the legacy wire."""
+    When ids fit 20 bits they ride as packed 20-bit fields (the device
+    wire's layout) next to the raw f64 sims -- 13 instead of the legacy
+    24 bytes per pair; measured at 9M edges the gather drops under 1 s
+    against ~3 s for the legacy triple wire (MULTIHOST_BENCH_r05).
+    Recomputing sims locally instead of shipping them was measured and
+    rejected: the 9M-pair exact rescore costs ~2 s of host CPU to save
+    8 bytes/pair of collective -- the wrong trade on any realistic
+    interconnect.  Ids beyond 20 bits fall back to the legacy wire."""
     if max(n_m, n_right, 1) > (1 << 20):
         wire = np.empty((len(rows), 3), dtype=np.float64)
         wire[:, 0] = rows
@@ -1103,13 +1100,63 @@ def _gather_pair_list(
         cols_l.append(_unpack20(part[1 + k:], mp))
     rows_g = np.concatenate(rows_l)
     cols_g = np.concatenate(cols_l)
-    if rescore is not None:
-        sims_g = rescore(rows_g, cols_g)
-    else:
-        sims_g = np.concatenate(
-            _allgather_ragged(np.ascontiguousarray(sims))
-        )
+    sims_g = np.concatenate(
+        _allgather_ragged(np.ascontiguousarray(sims))
+    )
     return rows_g, cols_g, sims_g
+
+
+def _host_available_bytes() -> Optional[int]:
+    """MemAvailable from /proc/meminfo, or None off-Linux."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable"):
+                    return int(line.split()[1]) * 1024
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return None
+
+
+def _check_replicated_capacity(local_ell: EllMatrix, n_docs: int) -> None:
+    """Guard the replicated tier's O(corpus) per-host materialization.
+
+    The replicated tier allgathers the FULL exact ELL (+ byte payload) to
+    every process -- the reference hits the same wall and answers with
+    ``n_blocks`` (its docs note a ~80k-row right-block memory cliff,
+    reference docs/performance.md:71-79); this build's answer is the
+    ``sharded`` tier.  Estimated bytes are compared against
+    ``SG_TPU_MH_HOST_BUDGET_GB`` (or 80% of the minimum MemAvailable
+    across processes -- the min rides a collective so every process
+    raises together rather than one OOM-killing mid-allgather).  See
+    docs/performance.md "Capacity envelope"."""
+    est = n_docs * (local_ell.width * 12 + 16)
+    src = local_ell.device_src
+    if src is not None and len(src.coff):
+        per_row = int(src.coff[-1]) / max(len(src.coff) - 1, 1)
+        est += int(n_docs * (per_row + 16))
+    budget_env = os.environ.get("SG_TPU_MH_HOST_BUDGET_GB")
+    if budget_env is not None:
+        budget = float(budget_env) * (1 << 30)
+    else:
+        avail = _host_available_bytes()
+        if avail is None:
+            return
+        # Collective min so heterogeneous hosts agree on the verdict.
+        avail = int(
+            _allgather_host(np.array([avail], np.int64)).min()
+        )
+        budget = 0.8 * avail
+    if est > budget:
+        raise MemoryError(
+            f"multihost='replicated' would materialize ~{est / (1 << 30):.1f}"
+            f" GB of exact corpus encode on EVERY process ({n_docs:,} rows),"
+            f" exceeding the per-host budget of {budget / (1 << 30):.1f} GB. "
+            "Use multihost='sharded' (per-process memory ~1/n_processes; "
+            "the engine auto-selects it above SG_TPU_MH_SHARDED_ROWS rows), "
+            "or raise SG_TPU_MH_HOST_BUDGET_GB if this host can hold the "
+            "replicated encode."
+        )
 
 
 def _empty_pairs() -> MatchPairs:
@@ -1170,6 +1217,7 @@ def multihost_fit_pairs(
         )
     t["encode_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
+    _check_replicated_capacity(local_ell, n_docs)
     full_ell = _allgather_full_ell(local_ell)
     t["ell_allgather_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -1226,20 +1274,12 @@ def multihost_fit_pairs(
         pairs_local = _empty_pairs()
     t["match_s"] = time.perf_counter() - t0
 
-    # Compact result gather: packed 20-bit ids; sims recomputed locally
-    # (every host holds the full exact ELLs on this tier) -- see
+    # Compact result gather: packed 20-bit ids + f64 sims -- see
     # _gather_pair_list.
     t0 = time.perf_counter()
-
-    def rescore_local(rg, cg):
-        return rescore_pairs_fp64(
-            full_master, full_right, rg, cg,
-            acc_dtype=config.tfidf_matrix_dtype,
-        )
-
     rows_g, cols_g, sims_g = _gather_pair_list(
         pairs_local.rows + lo_l, pairs_local.cols, pairs_local.sims,
-        n_m, n_right, rescore=rescore_local,
+        n_m, n_right,
     )
     true_max = (
         int(np.bincount(rows_g, minlength=n_m).max(initial=0))

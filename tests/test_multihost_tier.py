@@ -194,6 +194,26 @@ class TestMultihostTier:
         )
         pd.testing.assert_frame_equal(a, b)
 
+    def test_replicated_capacity_guard(self):
+        """The replicated tier refuses corpora whose per-host exact-encode
+        replication exceeds the host budget, pointing at the sharded
+        tier (docs/performance.md 'Capacity envelope')."""
+        import os
+
+        s = _names(200, seed=31)
+        os.environ["SG_TPU_MH_HOST_BUDGET_GB"] = "0.0000001"
+        try:
+            with pytest.raises(MemoryError, match="sharded"):
+                sgt.match_strings(s, min_similarity=0.6, multihost=True)
+            # The sharded tier itself stays available.
+            b = sgt.match_strings(
+                s, min_similarity=0.6, multihost="sharded"
+            )
+        finally:
+            del os.environ["SG_TPU_MH_HOST_BUDGET_GB"]
+        a = sgt.match_strings(s, min_similarity=0.6)
+        pd.testing.assert_frame_equal(a, b)
+
     def test_invalid_multihost_value(self):
         with pytest.raises(Exception, match="multihost"):
             sgt.match_strings(_names(10), multihost="bogus")

@@ -1066,10 +1066,10 @@ def _gather_pair_list(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Allgather per-shard pair lists into the global (rows, cols, sims).
 
-    When ids fit 20 bits they ride as packed 20-bit fields (the device
-    wire's layout) next to the raw f64 sims -- 13 instead of the legacy
-    24 bytes per pair; measured at 9M edges the gather drops under 1 s
-    against ~3 s for the legacy triple wire (MULTIHOST_BENCH_r05).
+    When ids fit 20 bits the wire is ONE uint8 stream per process --
+    [count:u32, pad:u32, 20-bit-packed rows+cols, raw f64 sims] -- 13
+    instead of the legacy 24 bytes per pair in the same number of
+    collectives (measured at 9M edges in MULTIHOST_BENCH_r05).
     Recomputing sims locally instead of shipping them was measured and
     rejected: the 9M-pair exact rescore costs ~2 s of host CPU to save
     8 bytes/pair of collective -- the wrong trade on any realistic
@@ -1088,22 +1088,36 @@ def _gather_pair_list(
     from ..ops.matcher import _unpack20
 
     m = len(rows)
+    ids_words = np.concatenate([_np_pack20(rows), _np_pack20(cols)])
+    # Header padded to 8 bytes and the ids block is 40*ceil(m/8) bytes, so
+    # the sims block lands 8-byte aligned for the f64 view on decode.
     wire = np.concatenate(
-        [np.array([m], np.uint32), _np_pack20(rows), _np_pack20(cols)]
+        [
+            np.array([m, 0], np.uint32).view(np.uint8),
+            ids_words.view(np.uint8),
+            np.ascontiguousarray(sims, dtype=np.float64).view(np.uint8),
+        ]
     )
     parts = _allgather_ragged(wire)
-    rows_l, cols_l = [], []
+    rows_l, cols_l, sims_l = [], [], []
     for part in parts:
-        mp = int(part[0])
-        k = (len(part) - 1) // 2
-        rows_l.append(_unpack20(part[1:1 + k], mp))
-        cols_l.append(_unpack20(part[1 + k:], mp))
-    rows_g = np.concatenate(rows_l)
-    cols_g = np.concatenate(cols_l)
-    sims_g = np.concatenate(
-        _allgather_ragged(np.ascontiguousarray(sims))
+        part = part.copy()  # gathered slices may be unaligned for views
+        mp = int(part[:4].view(np.uint32)[0])
+        kb = 2 * (-(-max(mp, 1) // 8) * 5) * 4  # ids block bytes
+        words = part[8:8 + kb].view(np.uint32)
+        k = len(words) // 2
+        rows_l.append(_unpack20(words[:k], mp))
+        cols_l.append(_unpack20(words[k:], mp))
+        sims_l.append(
+            np.ascontiguousarray(part[8 + kb:8 + kb + 8 * mp]).view(
+                np.float64
+            )
+        )
+    return (
+        np.concatenate(rows_l),
+        np.concatenate(cols_l),
+        np.concatenate(sims_l),
     )
-    return rows_g, cols_g, sims_g
 
 
 def _host_available_bytes() -> Optional[int]:

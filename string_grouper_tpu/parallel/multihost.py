@@ -1,19 +1,25 @@
 """True multi-process (multi-host) matching: the DCN forms of the pipeline.
 
-Two tiers live here (docs/architecture.md "Multi-host status"):
+Three tiers live here (docs/architecture.md "Multi-host status"):
 
-* the PRODUCTION engine-integrated tier (:func:`multihost_fit_pairs`,
-  selected by ``StringGrouperConfig.multihost``): SPMD over processes --
-  same engine call, same full inputs everywhere; encode shards per
-  process, the exact blocks + byte payload allgather once, each process
-  runs the complete single-controller matcher on its left-row slice, and
-  one packed collective gathers the results, so every process returns the
-  identical full output.  The hot loop crosses no process boundary.
+* the REPLICATED production tier (:func:`multihost_fit_pairs`; the
+  engine's default below ``SG_TPU_MH_SHARDED_ROWS``): SPMD over
+  processes -- same engine call, same full inputs everywhere; encode
+  shards per process, the exact blocks + byte payload allgather once,
+  each process runs the complete single-controller matcher on its
+  left-row slice, and one packed collective gathers the results, so
+  every process returns the identical full output.  The hot loop crosses
+  no process boundary.
+* the SHARDED production tier (:func:`multihost_sharded_fit_pairs`;
+  ``multihost="sharded"`` or auto above the threshold): the
+  memory-scalable form -- no process materializes the full corpus
+  ELL/payload; phase 1 runs over a globally sharded device hash matrix
+  and exact rescoring visits remote right shards over a broadcast ring
+  (~1/n_processes host memory per process).
 * the shard-local DEMONSTRATION tier (:func:`multihost_encode_shard` +
-  :func:`multihost_match_shard`), described below: each process holds
-  ONLY its shard of the corpus strings and the hashed projection is a
-  globally sharded device array -- the shape a pod needs when the right
-  side cannot be host-replicated.
+  :func:`multihost_match_shard`), described below: the self-join-only
+  pipeline the sharded tier grew from, kept as its minimal exercised
+  form.
 
 Every function runs under ``jax.distributed`` multi-controller SPMD with a
 global device mesh spanning all processes -- exercised by
@@ -918,8 +924,7 @@ def _finish_sharded(
     Ids ride packed (20-bit) when they fit; sims ship as f64 -- this tier
     holds no full corpus ELL to rescore against."""
     rows_g, cols_g, sims_g = _gather_pair_list(
-        pairs_local.rows + row_offset, pairs_local.cols, pairs_local.sims,
-        n_m, n_right,
+        pairs_local.rows + row_offset, pairs_local.cols, pairs_local.sims
     )
     true_max = (
         int(np.bincount(rows_g, minlength=n_m).max(initial=0))
@@ -1040,61 +1045,27 @@ def _allgather_full_ell(local_ell: EllMatrix) -> EllMatrix:
     return replace(full, device_src=full_src)
 
 
-def _np_pack20(v: np.ndarray) -> np.ndarray:
-    """Host 20-bit field packing (8 ids -> 5 uint32 words), byte-identical
-    to the device wire's ``_pack20`` (ops/matcher.py) so one ``_unpack20``
-    serves both."""
-    n = len(v)
-    npad = -(-max(n, 1) // 8) * 8
-    x = np.zeros(npad, dtype=np.uint32)
-    x[:n] = v.astype(np.uint32)
-    x = x.reshape(-1, 8)
-    w0 = x[:, 0] | (x[:, 1] << 20)
-    w1 = (x[:, 1] >> 12) | (x[:, 2] << 8) | (x[:, 3] << 28)
-    w2 = (x[:, 3] >> 4) | (x[:, 4] << 16)
-    w3 = (x[:, 4] >> 16) | (x[:, 5] << 4) | (x[:, 6] << 24)
-    w4 = (x[:, 6] >> 8) | (x[:, 7] << 12)
-    return np.stack([w0, w1, w2, w3, w4], axis=1).reshape(-1)
-
-
 def _gather_pair_list(
     rows: np.ndarray,
     cols: np.ndarray,
     sims: np.ndarray,
-    n_m: int,
-    n_right: int,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Allgather per-shard pair lists into the global (rows, cols, sims).
 
-    When ids fit 20 bits the wire is ONE uint8 stream per process --
-    [count:u32, pad:u32, 20-bit-packed rows+cols, raw f64 sims] -- 13
-    instead of the legacy 24 bytes per pair in the same number of
-    collectives (measured at 9M edges in MULTIHOST_BENCH_r05).
-    Recomputing sims locally instead of shipping them was measured and
-    rejected: the 9M-pair exact rescore costs ~2 s of host CPU to save
-    8 bytes/pair of collective -- the wrong trade on any realistic
-    interconnect.  Ids beyond 20 bits fall back to the legacy wire."""
-    if max(n_m, n_right, 1) > (1 << 20):
-        wire = np.empty((len(rows), 3), dtype=np.float64)
-        wire[:, 0] = rows
-        wire[:, 1] = cols
-        wire[:, 2] = sims
-        allp = np.concatenate(_allgather_ragged(wire))
-        return (
-            allp[:, 0].astype(np.int64),
-            allp[:, 1].astype(np.int64),
-            np.ascontiguousarray(allp[:, 2]),
-        )
-    from ..ops.matcher import _unpack20
-
+    ONE uint8 stream per process -- [count:u32, pad:u32, rows:i32,
+    cols:i32, sims:f64] -- 16 instead of the legacy 24 bytes per pair
+    (ids rode as f64 before) at near-zero host cost.  Two denser forms
+    were measured at 9M edges and REJECTED: 20-bit packed ids (13 B/pair)
+    cost ~2 s of numpy pack/unpack per gather -- more than the wire bytes
+    saved on any but the slowest interconnect -- and recomputing sims
+    locally instead of shipping them (5 B/pair) cost ~2 s of exact
+    rescore; see MULTIHOST_BENCH_r05."""
     m = len(rows)
-    ids_words = np.concatenate([_np_pack20(rows), _np_pack20(cols)])
-    # Header padded to 8 bytes and the ids block is 40*ceil(m/8) bytes, so
-    # the sims block lands 8-byte aligned for the f64 view on decode.
     wire = np.concatenate(
         [
             np.array([m, 0], np.uint32).view(np.uint8),
-            ids_words.view(np.uint8),
+            np.ascontiguousarray(rows, dtype=np.int32).view(np.uint8),
+            np.ascontiguousarray(cols, dtype=np.int32).view(np.uint8),
             np.ascontiguousarray(sims, dtype=np.float64).view(np.uint8),
         ]
     )
@@ -1103,16 +1074,13 @@ def _gather_pair_list(
     for part in parts:
         part = part.copy()  # gathered slices may be unaligned for views
         mp = int(part[:4].view(np.uint32)[0])
-        kb = 2 * (-(-max(mp, 1) // 8) * 5) * 4  # ids block bytes
-        words = part[8:8 + kb].view(np.uint32)
-        k = len(words) // 2
-        rows_l.append(_unpack20(words[:k], mp))
-        cols_l.append(_unpack20(words[k:], mp))
-        sims_l.append(
-            np.ascontiguousarray(part[8 + kb:8 + kb + 8 * mp]).view(
-                np.float64
-            )
+        rows_l.append(
+            part[8:8 + 4 * mp].view(np.int32).astype(np.int64)
         )
+        cols_l.append(
+            part[8 + 4 * mp:8 + 8 * mp].view(np.int32).astype(np.int64)
+        )
+        sims_l.append(part[8 + 8 * mp:8 + 16 * mp].view(np.float64))
     return (
         np.concatenate(rows_l),
         np.concatenate(cols_l),
@@ -1292,8 +1260,7 @@ def multihost_fit_pairs(
     # _gather_pair_list.
     t0 = time.perf_counter()
     rows_g, cols_g, sims_g = _gather_pair_list(
-        pairs_local.rows + lo_l, pairs_local.cols, pairs_local.sims,
-        n_m, n_right,
+        pairs_local.rows + lo_l, pairs_local.cols, pairs_local.sims
     )
     true_max = (
         int(np.bincount(rows_g, minlength=n_m).max(initial=0))

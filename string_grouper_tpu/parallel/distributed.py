@@ -108,12 +108,30 @@ def _shard_pass2(encoder, corpus, keys, row_ids, vocab, width):
     (replicated) global vocabulary, compute TF-IDF values and row norms from
     this shard's rows only, and pack a shard-local ELL block.  Consumes
     nothing but shard-local state + the replicated vocab/IDF -- on a
-    multi-host mesh this runs entirely on the shard's host."""
+    multi-host mesh this runs entirely on the shard's host.
+
+    The float32 branch reproduces the host encoder's sklearn rounding
+    chain (corpus/tfidf.py ``_encode``) row-locally against the GLOBAL
+    IDF, so shard blocks concatenate bitwise equal to a full local f32
+    encode (the same argument as multihost_encode_shard's f32 branch)."""
     from ..corpus.tfidf import _ell_from_unique_pairs, _unique_row_term_counts
 
     n_terms = len(vocab)
     t_idx = np.searchsorted(vocab, keys)
     rows, terms, tf = _unique_row_term_counts(row_ids, t_idx, n_terms)
+    if encoder.config.tfidf_matrix_dtype == np.float32:
+        w = tf.astype(np.float32) * encoder.idf_[terms].astype(np.float32)
+        norm_sq = np.bincount(rows, weights=w * w, minlength=corpus.n_rows)
+        norm = np.sqrt(norm_sq)
+        safe = np.where(norm > 0, norm, 1.0)
+        vals = (w / safe[rows]).astype(np.float32).astype(np.float64)
+        inv = np.zeros(corpus.n_rows, dtype=np.float64)
+        nz = norm > 0
+        inv[nz] = 1.0 / norm[nz]
+        ell = _ell_from_unique_pairs(
+            rows, terms, vals, corpus.n_rows, n_terms, width=width
+        )
+        return ell, inv
     w = tf.astype(np.float64) * encoder.idf_[terms]
     norm_sq = np.bincount(rows, weights=w * w, minlength=corpus.n_rows)
     norm = np.sqrt(norm_sq)
@@ -179,20 +197,6 @@ def sharded_fit_transform(encoder, master, duplicates, mesh: Mesh):
     )
     from ..corpus.preprocess import clean_corpus
     from ..corpus.tfidf import DeviceEncodeSrc, EllMatrix, _EMPTY_VOCAB_MSG
-
-    if encoder.config.tfidf_matrix_dtype == np.float32:
-        # The f32 rounding chain (idf computed in f32 steps) lives in the
-        # host encoder; route through it for bit parity.  See
-        # docs/architecture.md (mesh + float32) -- this bypasses the
-        # DF-psum path by design.
-        import logging
-
-        logging.getLogger("string_grouper_tpu").info(
-            "tfidf_matrix_dtype=float32 under mesh=: encoding on the host "
-            "encoder (bit parity with sklearn's f32 IDF chain); the "
-            "distributed DF-psum path applies to float64 only"
-        )
-        return encoder.fit_transform_pair(master, duplicates)
 
     n_m = len(master)
     n_docs = n_m + (0 if duplicates is None else len(duplicates))
@@ -269,12 +273,21 @@ def sharded_fit_transform(encoder, master, duplicates, mesh: Mesh):
     df = np.asarray(df_global)[0, 0].astype(np.int64)
 
     # Replicated IDF from the globally-reduced DF; value math identical to
-    # the host encoder (float64 path).
+    # the host encoder (incl. sklearn's per-step float32 rounding chain
+    # when tfidf_matrix_dtype=float32 -- corpus/tfidf.py fit_transform).
     encoder.vocab_keys_ = vocab
     encoder._packed_bits = bits0
     encoder._dev_tables = None
     encoder.n_docs_ = n_docs
-    encoder.idf_ = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+    if encoder.config.tfidf_matrix_dtype == np.float32:
+        df32 = df.astype(np.float32) + np.float32(1.0)
+        idf32 = np.full_like(df32, n_docs + 1, dtype=np.float32)
+        idf32 /= df32
+        np.log(idf32, out=idf32)
+        idf32 += np.float32(1.0)
+        encoder.idf_ = idf32
+    else:
+        encoder.idf_ = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
 
     # Shard-local pass 2: values + norms + ELL block + device payload.
     # The block width is agreed first (one scalar pmax over shard maxima)
@@ -292,6 +305,7 @@ def sharded_fit_transform(encoder, master, duplicates, mesh: Mesh):
     # float64 path -- the same eligibility as the native encoder's payload.
     make_payload = (
         bits0 == 8
+        and encoder.config.tfidf_matrix_dtype != np.float32
         and os.environ.get("SG_TPU_DEVICE_ENCODE", "1") != "0"
     )
     parts_ell, parts_codes, parts_coff, parts_inv = [], [], [], []

@@ -229,6 +229,37 @@ class TestShardedEncode:
         np.testing.assert_array_equal(s_d.vals64, h_d.vals64)
 
     @pytest.mark.parametrize("dp,mp", [(1, 8), (2, 4)])
+    def test_sharded_encode_float32_bitwise(self, dp, mp):
+        """float32 shards through the DF-psum path too: the sklearn f32
+        rounding chain (IDF and value steps) runs shard-locally against
+        the globally-reduced DF, bitwise-equal to a full host encode --
+        the mesh-tier form of the multihost f32 shard encode."""
+        import string_grouper_tpu as sgt
+        from string_grouper_tpu.parallel import sharded_fit_transform
+
+        series = _synthetic_names(90, seed=12)
+        cfg = StringGrouperConfig(tfidf_matrix_dtype=np.float32)
+        host = TfidfEncoder(cfg)
+        h_m, _ = host.fit_transform_pair(list(series), None)
+        mesh = make_mesh(dp * mp, dp=dp)
+        enc = TfidfEncoder(cfg)
+        s_m, _ = sharded_fit_transform(enc, list(series), None, mesh)
+        np.testing.assert_array_equal(s_m.ids, h_m.ids)
+        np.testing.assert_array_equal(s_m.vals64, h_m.vals64)
+        np.testing.assert_array_equal(enc.idf_, host.idf_)
+        # End-to-end through the engine: mesh f32 == single-chip f32.
+        a = sgt.match_strings(
+            series, min_similarity=0.5, tfidf_matrix_dtype=np.float32
+        )
+        b = sgt.match_strings(
+            series, min_similarity=0.5, tfidf_matrix_dtype=np.float32,
+            mesh=mesh,
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+
+    @pytest.mark.parametrize("dp,mp", [(1, 8), (2, 4)])
     def test_sharded_encode_attaches_device_payload(self, dp, mp):
         """The mesh path must carry the byte-level DeviceEncodeSrc (the
         ~1 B/char upload path) just like the host encoder -- VERDICT r2

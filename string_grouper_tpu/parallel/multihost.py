@@ -681,7 +681,18 @@ def multihost_sharded_fit_pairs(
 
     Covers self- AND cross-joins; bitwise-equal to the single-controller
     engine (tests/test_multihost_tier.py under one process,
-    tests/mh_engine_worker.py under 2-3 real gloo processes)."""
+    tests/mh_engine_worker.py under 2-3 real gloo processes).
+
+    Design note: phase 1 uses the COMPLETE-extraction XLA tile body
+    (k_tile = tile) rather than the fused kt=2 Pallas kernel the
+    single-chip/mesh tiers default to.  The choice is deliberate: this
+    tier settles unsafe rows with ONE union re-match at the provably
+    complete width, which stays tiny only while drops come solely from
+    top-C truncation; the kt=2 body's per-tile drops would push a few
+    percent of the corpus into that full-width re-match (an
+    O(rows x corpus) candidate matrix).  Bringing the fused body here
+    needs the single-chip driver's kt-bucketed per-row escalation first
+    -- the known pod-scale follow-up."""
     t: dict = {}
     t0 = time.perf_counter()
     is_self = duplicates is None

@@ -380,9 +380,15 @@ class StringGrouper:
         SG_TPU_MH_SHARDED_ROWS corpus-row threshold -- the point where
         host-replicating the exact ELL + payload stops being the right
         trade (the reference's analog is the ~80k-right-block memory cliff
-        behind its n_blocks option, docs/performance.md:71-79)."""
+        behind its n_blocks option, docs/performance.md:71-79).
+        Thresholdless fits (min_similarity <= 0: every pair qualifies)
+        stay on the replicated tier in auto mode -- the sharded tier's
+        phase-1 candidate width is the whole corpus without a threshold,
+        and a thresholdless output is corpus^2-sized anyway."""
         if isinstance(self._config.multihost, str):
             return self._config.multihost
+        if self._config.min_similarity <= 0:
+            return "replicated"
         n_docs = len(self._master) + (
             0 if self._duplicates is None else len(self._duplicates)
         )

@@ -586,9 +586,11 @@ def _make_phase1_scan(mesh, tile: int, hash_dim: int):
 
 
 def _shard_bounds(n: int, nproc: int, pid: int) -> Tuple[int, int, int]:
-    """Contiguous even sharding: (per, lo, hi) with per = ceil(n/nproc)."""
+    """Contiguous even sharding: (per, lo, hi) with per = ceil(n/nproc).
+    Both bounds clamp to ``n`` so trailing processes of a tiny corpus
+    (n < nproc) get EMPTY shards, not negative-length ones."""
     per = -(-max(n, 1) // nproc)
-    return per, pid * per, min((pid + 1) * per, n)
+    return per, min(pid * per, n), min((pid + 1) * per, n)
 
 
 def _pad_block(a: np.ndarray, rows: int) -> np.ndarray:

@@ -145,4 +145,12 @@ mh_sh_cross = sgt.match_strings(
 pd.testing.assert_frame_equal(mh_sh_cross, oracle_cross)
 print(f"ENGINE_SHARDED_CROSS_OK {proc_id}", flush=True)
 
+# Corpus smaller than the process count: trailing processes get EMPTY
+# shards (a negative-length slice here once produced a crash).
+tiny = pd.Series(["acme corp", "acme corp."])
+mh_tiny = sgt.match_strings(tiny, min_similarity=0.5, multihost="sharded")
+oracle_tiny = sgt.match_strings(tiny, min_similarity=0.5, multihost=False)
+pd.testing.assert_frame_equal(mh_tiny, oracle_tiny)
+print(f"ENGINE_TINY_OK {proc_id}", flush=True)
+
 print(f"ENGINE_OK {proc_id}", flush=True)

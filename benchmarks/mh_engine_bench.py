@@ -53,7 +53,7 @@ series = synthetic_company_names(N, seed=7)
 t0 = time.perf_counter()
 sg = StringGrouper(series, min_similarity=0.8, multihost=TIER).fit()
 fit_s = time.perf_counter() - t0
-assert sg.timings.seconds.get("match.mh_tier") == TIER, sg.timings.seconds
+assert sg.timings.labels.get("multihost_tier") == TIER, sg.timings.labels
 stages = {
     k.split("mh_")[1]: v
     for k, v in sg.timings.seconds.items()

@@ -416,7 +416,7 @@ class StringGrouper:
             pairs, stages = fit_pairs(
                 self._master, self._duplicates, self._config
             )
-        self.timings.seconds["match.mh_tier"] = tier
+        self.timings.labels["multihost_tier"] = tier
         for k, v in stages.items():
             self.timings.seconds[f"match.mh_{k}"] = (
                 round(v, 3) if isinstance(v, float) else v

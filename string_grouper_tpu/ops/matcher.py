@@ -132,10 +132,16 @@ def fused_enabled() -> bool:
 # G=3/4) -- see UPLOAD_PIPELINE_AB_r05.json.  On a locally-attached TPU
 # (sub-ms dispatch) the trade should flip; the knob keeps it measurable.
 _CHUNKED_P1_MIN_ROWS = 200_000
-#: Right-chunk count G: chunk-0's upload (~1/G of the head) is the only
-#: serial exposure; each extra group adds per-pass dispatch round-trips,
-#: so small G wins (swept on v5e at 663k).
-_CHUNKED_P1_GROUPS = int(os.environ.get("SG_TPU_CHUNKED_P1_GROUPS", "2"))
+
+
+
+def _chunked_p1_groups() -> int:
+    """Right-chunk count G (read per fit so A/B sweeps can vary it in
+    one process, like the SG_TPU_CHUNKED_P1 knob itself): chunk-0's
+    upload (~1/G of the head) is the only serial exposure; each extra
+    group adds per-pass dispatch round-trips, so small G wins (swept on
+    v5e at 663k)."""
+    return int(os.environ.get("SG_TPU_CHUNKED_P1_GROUPS", "2"))
 
 
 def _chunked_p1_size_ok(n_right: int) -> bool:
@@ -1193,7 +1199,12 @@ def _phase1_single(
         and is_self
         and chunk_src is not None
         and device_encode_enabled()
-        and _chunked_p1_size_ok(n_right)
+        # Size test on the RAW matrix rows (right.n_rows), matching the
+        # engine's prefetch-skip predicate (chunked_p1_will_engage uses
+        # len(master)); testing the collapsed unique count here would let
+        # the engine skip the prefetch for a fit the pipeline then
+        # declines -- leaving the upload head entirely serial.
+        and _chunked_p1_size_ok(right.n_rows)
         and seg_rows % tile == 0
         and n_seg > 1
         and _prefetched_hash(chunk_src, hash_dim) is None
@@ -1202,7 +1213,7 @@ def _phase1_single(
     # Chunk bounds over the right padded space, aligned to segment
     # boundaries (so every left segment's rows live in one chunk).
     if chunked_ok:
-        n_groups = min(_CHUNKED_P1_GROUPS, n_seg)
+        n_groups = min(_chunked_p1_groups(), n_seg)
         spg = -(-n_seg // n_groups)  # segments per chunk group
         bounds = [
             (

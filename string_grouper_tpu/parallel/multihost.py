@@ -585,6 +585,13 @@ def _make_phase1_scan(mesh, tile: int, hash_dim: int):
     return make_scan
 
 
+#: Sharded-tier initial candidate width cap (per shard): bounds the
+#: device-replicated candidate matrix at n_left_pad x n_dev x 256 x 4 B
+#: (~2 GB at 2M rows x 8 devices) for ANY max_n_matches / threshold;
+#: truncated rows settle exactly in the union escalation.
+_SHARDED_CAND_CAP = 256
+
+
 def _shard_bounds(n: int, nproc: int, pid: int) -> Tuple[int, int, int]:
     """Contiguous even sharding: (per, lo, hi) with per = ceil(n/nproc).
     Both bounds clamp to ``n`` so trailing processes of a tiny corpus
@@ -809,7 +816,18 @@ def multihost_sharded_fit_pairs(
     a_chunks = a_dense.reshape(-1, chunk, hash_dim)
 
     make_scan = _make_phase1_scan(mesh, tile, hash_dim)
-    cand_c = initial_cand_c(min_similarity, max_n_eff, n_right, per_dev_r)
+    # Candidate width is CAPPED: initial_cand_c returns the per-device cap
+    # for max_n_matches=None / thresholdless configs, and the replicated
+    # candidate matrix is (n_left_pad, n_dev * cand_c) int32 on EVERY
+    # device -- uncapped it scales with the corpus itself.  Rows whose
+    # top-C truncates report a finite drop bound and settle in the
+    # complete-width union re-match below, so the cap never costs
+    # exactness, only escalation volume.
+    cand_c = min(
+        initial_cand_c(min_similarity, max_n_eff, n_right, per_dev_r),
+        _SHARDED_CAND_CAP,
+        per_dev_r,
+    )
     thr = jnp.float32(effective_threshold(min_similarity))
     cols_rep, bound_rep = make_scan(cand_c)(a_chunks, b_hash, thr)
     # Pull ONLY this process's left-row slice to host.
@@ -932,9 +950,8 @@ def _finish_sharded(
     config: StringGrouperConfig, n_m: int, n_right: int, t: dict,
     t0: float, row_offset: int = 0,
 ) -> Tuple[MatchPairs, dict]:
-    """Result gather + global fix-ups shared with the replicated tier.
-    Ids ride packed (20-bit) when they fit; sims ship as f64 -- this tier
-    holds no full corpus ELL to rescore against."""
+    """Result gather + global fix-ups shared with the replicated tier
+    (the compact i32-ids + f64-sims wire of _gather_pair_list)."""
     rows_g, cols_g, sims_g = _gather_pair_list(
         pairs_local.rows + row_offset, pairs_local.cols, pairs_local.sims
     )
@@ -1129,18 +1146,22 @@ def _check_replicated_capacity(local_ell: EllMatrix, n_docs: int) -> None:
     if src is not None and len(src.coff):
         per_row = int(src.coff[-1]) / max(len(src.coff) - 1, 1)
         est += int(n_docs * (per_row + 16))
+    # EVERY process issues the SAME collective regardless of its local env
+    # var or /proc availability -- a conditional collective here would
+    # desynchronize the job (some processes gathering, others not) and
+    # hang instead of raising.  Each process contributes its local budget
+    # (env override, else 80% of MemAvailable, else "no limit"); the
+    # global budget is the minimum, so the verdict is identical everywhere.
     budget_env = os.environ.get("SG_TPU_MH_HOST_BUDGET_GB")
     if budget_env is not None:
-        budget = float(budget_env) * (1 << 30)
+        local_budget = float(budget_env) * (1 << 30)
     else:
         avail = _host_available_bytes()
-        if avail is None:
-            return
-        # Collective min so heterogeneous hosts agree on the verdict.
-        avail = int(
-            _allgather_host(np.array([avail], np.int64)).min()
-        )
-        budget = 0.8 * avail
+        local_budget = float("inf") if avail is None else 0.8 * avail
+    gathered = _allgather_host(
+        np.array([local_budget], np.float64)
+    ).reshape(-1)
+    budget = float(gathered.min())
     if est > budget:
         raise MemoryError(
             f"multihost='replicated' would materialize ~{est / (1 << 30):.1f}"
@@ -1268,8 +1289,7 @@ def multihost_fit_pairs(
         pairs_local = _empty_pairs()
     t["match_s"] = time.perf_counter() - t0
 
-    # Compact result gather: packed 20-bit ids + f64 sims -- see
-    # _gather_pair_list.
+    # Compact result gather (i32 ids + f64 sims) -- see _gather_pair_list.
     t0 = time.perf_counter()
     rows_g, cols_g, sims_g = _gather_pair_list(
         pairs_local.rows + lo_l, pairs_local.cols, pairs_local.sims

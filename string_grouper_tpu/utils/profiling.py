@@ -17,9 +17,15 @@ from typing import Dict, Iterator, Optional
 
 @dataclass
 class PhaseTimings:
-    """Wall-clock seconds per pipeline phase of the most recent fit."""
+    """Wall-clock seconds per pipeline phase of the most recent fit.
+
+    ``seconds`` holds numbers only (float walls plus int counters such as
+    ``match.rounds``); non-numeric per-fit facts (e.g. which multihost
+    tier ran) live in ``labels`` so numeric consumers of ``seconds`` --
+    ``sum(t.seconds.values())``, float formatting -- never break."""
 
     seconds: Dict[str, float] = field(default_factory=dict)
+    labels: Dict[str, str] = field(default_factory=dict)
 
     @contextlib.contextmanager
     def phase(self, name: str) -> Iterator[None]:
@@ -33,6 +39,7 @@ class PhaseTimings:
 
     def reset(self) -> None:
         self.seconds.clear()
+        self.labels.clear()
 
     def __repr__(self) -> str:  # pragma: no cover - cosmetic
         body = ", ".join(

@@ -124,7 +124,7 @@ print(f"ENGINE_F32_OK {proc_id}", flush=True)
 # visits one remote shard at a time.
 sg_sh = StringGrouper(series, min_similarity=0.6, multihost="sharded").fit()
 st = sg_sh.timings.seconds
-assert st.get("match.mh_tier") == "sharded", st
+assert sg_sh.timings.labels.get("multihost_tier") == "sharded", st
 assert "match.mh_ell_allgather_s" not in st, st
 local_b = st["match.mh_mem_local_ell_bytes"]
 full_b = st["match.mh_mem_replicated_ell_bytes"]

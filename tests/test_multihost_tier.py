@@ -281,13 +281,13 @@ class TestShardedTier:
 
         s = _names(60, seed=27)
         sg = StringGrouper(s, min_similarity=0.6, multihost=True).fit()
-        assert sg.timings.seconds.get("match.mh_tier") == "replicated"
+        assert sg.timings.labels.get("multihost_tier") == "replicated"
         os.environ["SG_TPU_MH_SHARDED_ROWS"] = "10"
         try:
             sg2 = StringGrouper(s, min_similarity=0.6, multihost=True).fit()
         finally:
             del os.environ["SG_TPU_MH_SHARDED_ROWS"]
-        assert sg2.timings.seconds.get("match.mh_tier") == "sharded"
+        assert sg2.timings.labels.get("multihost_tier") == "sharded"
         pd.testing.assert_frame_equal(sg.get_matches(), sg2.get_matches())
 
     def test_no_full_ell_stage_and_mem_accounting(self):

@@ -76,6 +76,7 @@ from ..ops.matcher import (
     duplicate_codes,
     effective_threshold,
     initial_cand_c,
+    initial_k_tile,
     match_block,
     topn_cosine_matches,
 )
@@ -416,7 +417,7 @@ def multihost_match_shard(
     thr = jnp.float32(effective_threshold(min_similarity))
     make_scan = _make_phase1_scan(mesh, tile, hash_dim)
 
-    cols_rep, bound_rep = make_scan(cand_c)(a_chunks, b_hash, thr)
+    cols_rep, bound_rep = make_scan(cand_c, tile)(a_chunks, b_hash, thr)
 
     # Stage 6 onward is per-host: this process reads the rows it owns from
     # the replicated candidate matrix and scores/selects them exactly.
@@ -495,7 +496,7 @@ def multihost_match_shard(
             0,
         )
         esc_chunks = a_sub.reshape(-1, chunk, hash_dim)
-        cols_esc, bound_esc = make_scan(per_dev)(esc_chunks, b_hash, thr)
+        cols_esc, bound_esc = make_scan(per_dev, tile)(esc_chunks, b_hash, thr)
         if np.isfinite(np.asarray(bound_esc)).any():
             raise AssertionError(
                 "multihost escalation re-match reported a finite drop "
@@ -551,13 +552,13 @@ def _make_phase1_scan(mesh, tile: int, hash_dim: int):
     ``make_scan(cand_w)`` -> jitted fn(a_chunks, b_hash, thr) ->
     (cols[(rows, mp*cand_w)] in padded device space, drop bound[rows])."""
 
-    def make_scan(cand_w):
+    def make_scan(cand_w, kt_w):
         def scan_chunks(a_chunks_r, b_loc, thr_s):
             b_tiles = b_loc.reshape(-1, tile, hash_dim)
 
             def body(_, a_hash_c):
                 w_vals, w_cols, cnts, tmax, bound = match_block(
-                    a_hash_c, b_tiles, thr_s, cand_w, tile
+                    a_hash_c, b_tiles, thr_s, cand_w, kt_w
                 )
                 neg = jnp.float32(-jnp.inf)
                 n_loc_rows = b_loc.shape[0]
@@ -783,7 +784,13 @@ def multihost_sharded_fit_pairs(
         b_local.reshape(pad_local_r, hash_dim),
     )
 
-    chunk = min(8, per_dev_r)
+    # Left scan-chunk rows: sized for the hardware -- the single-chip
+    # left_chunk granularity on TPU (512-row chunks measured ~100x slower
+    # per tile: per-tile reduction overhead amortizes over the chunk
+    # rows), tiny on the CPU test meshes where per-step work must stay
+    # small.
+    on_tpu_mesh = all(d.platform == "tpu" for d in mesh.devices.flat)
+    chunk = min(4096 if on_tpu_mesh else 8, per_dev_r)
     per_dev_l = -(-max(-(-n_m // n_dev), 8) // chunk) * chunk
     pad_local_l = per_dev_l * dev_per_proc
     if int(left_counts.max()) > pad_local_l:
@@ -829,7 +836,12 @@ def multihost_sharded_fit_pairs(
         per_dev_r,
     )
     thr = jnp.float32(effective_threshold(min_similarity))
-    cols_rep, bound_rep = make_scan(cand_c)(a_chunks, b_hash, thr)
+    # Initial extraction width: the single-chip heuristic (closed-form
+    # kt=2 on thresholded corpora) -- the complete kt=tile extraction
+    # stacks (n_tiles, rows, tile) intermediates, which at corpus scale is
+    # a device OOM; the ladder below restores completeness.
+    kt0 = initial_k_tile(min_similarity, tile, cand_c)
+    cols_rep, bound_rep = make_scan(cand_c, kt0)(a_chunks, b_hash, thr)
     # Pull ONLY this process's left-row slice to host.
     cols_my = np.asarray(cols_rep[llo:lhi])
     bound_my = np.asarray(bound_rep[llo:lhi])
@@ -867,62 +879,131 @@ def multihost_sharded_fit_pairs(
     t["rescore_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
 
-    # --- escalation: union re-match at the provably-complete width (same
-    # collective discipline as multihost_match_shard).
+    # --- escalation LADDER: unsafe rows re-match at widening
+    # (cand, k_tile) stages, ending at the provably-complete width
+    # (cand = per-shard rows, k_tile = tile).  Collective discipline:
+    # the unsafe union allgathers per stage, stage continuation is a
+    # global condition, and every process dispatches the identical batch
+    # sequence -- device memory stays bounded because each batch's
+    # per-tile extraction stack is (n_tiles, batch, kt) instead of
+    # (n_tiles, corpus, tile).
     from ..ops.matcher import _UB_ABS_SLACK, _UB_ADJ
 
-    adj = np.minimum(bound_my * _UB_ADJ + _UB_ABS_SLACK, 1.0)
-    unsafe = (
-        (bound_my > -np.inf)
-        & (adj >= max(min_similarity, 0.0))
-        & ((kept_q < max_n_eff) | (adj >= np.minimum(row_cut, 1.0)))
-    )
-    my_unsafe = np.flatnonzero(unsafe).astype(np.int64) + llo
-    n_uns = _allgather_host(np.array([len(my_unsafe)], np.int64))
-    max_uns = int(n_uns.max())
-    t["esc_rows"] = int(n_uns.sum())
-    if max_uns > 0:
-        pad = np.full(max_uns, -1, dtype=np.int64)
+    def detect_unsafe(bound_v, kept_v, cut_v):
+        adj = np.minimum(bound_v * _UB_ADJ + _UB_ABS_SLACK, 1.0)
+        return (
+            (bound_v > -np.inf)
+            & (adj >= max(min_similarity, 0.0))
+            & ((kept_v < max_n_eff) | (adj >= np.minimum(cut_v, 1.0)))
+        )
+
+    unsafe = detect_unsafe(bound_my, kept_q, row_cut)
+    stages = []
+    mid_cand = min(max(cand_c * 4, 256), per_dev_r)
+    mid_kt = min(32, tile)
+    if (kt0 < tile or cand_c < per_dev_r) and (
+        mid_cand < per_dev_r or mid_kt < tile
+    ):
+        stages.append((mid_cand, mid_kt))
+    stages.append((per_dev_r, tile))
+    n_tiles_dev = max(per_dev_r // tile, 1)
+    t["esc_rows"] = 0
+    touched_all = np.zeros(n_ll, dtype=bool)
+    for cand_s, kt_s in stages:
+        # Per-stage scan-chunk rows: the inner tile scan stacks
+        # (n_tiles, chunk, kt) intermediates, so wide-kt stages need
+        # narrow chunks (complete width: ~48 rows) while kt<=32 stages
+        # can amortize per-tile overhead over MXU-sized chunks.
+        chunk_esc = max(
+            8,
+            min(
+                512,
+                (1 << 29) // max(16 * n_tiles_dev * kt_s, 1) // 8 * 8,
+            ),
+        )
+        my_unsafe = np.flatnonzero(unsafe).astype(np.int64) + llo
+        n_uns = _allgather_host(np.array([len(my_unsafe)], np.int64))
+        if int(n_uns.max()) == 0:
+            break
+        t["esc_rows"] += int(n_uns.sum())
+        pad = np.full(int(n_uns.max()), -1, dtype=np.int64)
         pad[: len(my_unsafe)] = my_unsafe
         gathered = _allgather_host(pad).reshape(-1)
         union = np.unique(gathered[gathered >= 0])
-        m_p = -(-len(union) // chunk) * chunk
-        sel_rows = np.zeros(m_p, dtype=np.int64)
-        sel_rows[: len(union)] = union
-        a_sub = jnp.where(
-            (jnp.arange(m_p) < len(union))[:, None],
-            a_dense[jnp.asarray(sel_rows)],
-            0,
+        complete = cand_s >= per_dev_r and kt_s >= tile
+        # Batch rows so the per-dispatch extraction stack (~2 copies of
+        # (n_tiles, batch, kt) f32+i32) stays under ~0.5 GB.
+        per_row_b = 16 * n_tiles_dev * kt_s + 4 * n_dev * cand_s
+        batch = max(
+            chunk_esc,
+            (1 << 29) // max(per_row_b, 1) // chunk_esc * chunk_esc,
         )
-        esc_chunks = a_sub.reshape(-1, chunk, hash_dim)
-        cols_esc, bound_esc = make_scan(per_dev_r)(esc_chunks, b_hash, thr)
-        if np.isfinite(np.asarray(bound_esc[: len(union)])).any():
-            raise AssertionError(
-                "sharded-tier escalation re-match reported a finite drop "
-                "bound: the complete-width invariant is broken"
+        cols_mine_parts, bound_mine_parts, rows_mine_parts = [], [], []
+        for b0 in range(0, len(union), batch):
+            ub = union[b0:b0 + batch]
+            m_p = -(-len(ub) // chunk_esc) * chunk_esc
+            sel_rows = np.zeros(m_p, dtype=np.int64)
+            sel_rows[: len(ub)] = ub
+            a_sub = jnp.where(
+                (jnp.arange(m_p) < len(ub))[:, None],
+                a_dense[jnp.asarray(sel_rows)],
+                0,
             )
-        mine = (union >= llo) & (union < lhi)
-        # Every process pulls only ITS union rows, but ALL processes run
-        # the ring below (score_select is collective).
-        cols_esc_mine = (
-            np.asarray(
-                cols_esc[jnp.asarray(np.flatnonzero(mine).astype(np.int64))]
+            esc_chunks = a_sub.reshape(-1, chunk_esc, hash_dim)
+            cols_b, bound_b = make_scan(cand_s, kt_s)(
+                esc_chunks, b_hash, thr
             )
-            if mine.any()
-            else np.zeros((0, cols_esc.shape[1]), dtype=np.int32)
+            if complete and np.isfinite(
+                np.asarray(bound_b[: len(ub)])
+            ).any():
+                raise AssertionError(
+                    "sharded-tier complete-width re-match reported a "
+                    "finite drop bound: the completeness invariant is "
+                    "broken"
+                )
+            mine_b = (ub >= llo) & (ub < lhi)
+            if mine_b.any():
+                sel_mine = jnp.asarray(
+                    np.flatnonzero(mine_b).astype(np.int64)
+                )
+                cols_mine_parts.append(np.asarray(cols_b[sel_mine]))
+                bound_mine_parts.append(np.asarray(bound_b[sel_mine]))
+                rows_mine_parts.append(ub[mine_b] - llo)
+        rows_mine = (
+            np.concatenate(rows_mine_parts)
+            if rows_mine_parts
+            else np.zeros(0, dtype=np.int64)
         )
-        r2, c2, s2, _, _ = score_select(
-            cols_esc_mine, union[mine] - llo
+        cols_mine = (
+            np.concatenate(cols_mine_parts)
+            if cols_mine_parts
+            else np.zeros((0, n_dev * cand_s), dtype=np.int32)
         )
-        if mine.any():
-            touched = np.zeros(n_ll, dtype=bool)
-            touched[union[mine] - llo] = True
-            keep = ~touched[r_s]
-            r_s = np.concatenate([r_s[keep], r2])
-            c_s = np.concatenate([c_s[keep], c2])
-            s_s = np.concatenate([s_s[keep], s2])
-            order = np.lexsort((c_s, -s_s, r_s))
-            r_s, c_s, s_s = r_s[order], c_s[order], s_s[order]
+        # Every process runs the ring (score_select is collective), even
+        # with zero own rows this stage.
+        r2, c2, s2, kept2, cut2 = score_select(cols_mine, rows_mine)
+        touched = np.zeros(n_ll, dtype=bool)
+        touched[rows_mine] = True
+        touched_all |= touched
+        keep = ~touched[r_s]
+        r_s = np.concatenate([r_s[keep], r2])
+        c_s = np.concatenate([c_s[keep], c2])
+        s_s = np.concatenate([s_s[keep], s2])
+        # Next-stage unsafe set: only this stage's rows, judged by their
+        # NEW bounds and selection cuts.
+        unsafe = np.zeros(n_ll, dtype=bool)
+        if len(rows_mine) and not complete:
+            bound_new = (
+                np.concatenate(bound_mine_parts)
+                if bound_mine_parts
+                else np.zeros(0)
+            )
+            unsafe[rows_mine] = detect_unsafe(
+                bound_new, kept2[rows_mine], cut2[rows_mine]
+            )
+    if touched_all.any():
+        order = np.lexsort((c_s, -s_s, r_s))
+        r_s, c_s, s_s = r_s[order], c_s[order], s_s[order]
     t["esc_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
 

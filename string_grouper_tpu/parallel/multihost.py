@@ -899,12 +899,17 @@ def multihost_sharded_fit_pairs(
 
     unsafe = detect_unsafe(bound_my, kept_q, row_cut)
     stages = []
-    mid_cand = min(max(cand_c * 4, 256), per_dev_r)
-    mid_kt = min(32, tile)
-    if (kt0 < tile or cand_c < per_dev_r) and (
-        mid_cand < per_dev_r or mid_kt < tile
-    ):
-        stages.append((mid_cand, mid_kt))
+    if kt0 < tile or cand_c < per_dev_r:
+        # Widening rungs before the complete width: most escalated rows
+        # carry only a handful of per-tile overflows (the single-chip
+        # driver's kt-bucket distribution), so a cheap kt=8 rung settles
+        # the bulk before the 4x-costlier kt=32 one.
+        for mid_cand, mid_kt in (
+            (min(max(cand_c * 4, 256), per_dev_r), min(8, tile)),
+            (min(max(cand_c * 16, 1024), per_dev_r), min(32, tile)),
+        ):
+            if mid_cand < per_dev_r or mid_kt < tile:
+                stages.append((mid_cand, mid_kt))
     stages.append((per_dev_r, tile))
     n_tiles_dev = max(per_dev_r // tile, 1)
     t["esc_rows"] = 0
@@ -926,6 +931,8 @@ def multihost_sharded_fit_pairs(
         if int(n_uns.max()) == 0:
             break
         t["esc_rows"] += int(n_uns.sum())
+        t[f"esc_rows_kt{kt_s}"] = int(n_uns.sum())
+        t_stage0 = time.perf_counter()
         pad = np.full(int(n_uns.max()), -1, dtype=np.int64)
         pad[: len(my_unsafe)] = my_unsafe
         gathered = _allgather_host(pad).reshape(-1)
@@ -1001,6 +1008,7 @@ def multihost_sharded_fit_pairs(
             unsafe[rows_mine] = detect_unsafe(
                 bound_new, kept2[rows_mine], cut2[rows_mine]
             )
+        t[f"esc_kt{kt_s}_s"] = time.perf_counter() - t_stage0
     if touched_all.any():
         order = np.lexsort((c_s, -s_s, r_s))
         r_s, c_s, s_s = r_s[order], c_s[order], s_s[order]

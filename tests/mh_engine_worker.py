@@ -153,4 +153,24 @@ oracle_tiny = sgt.match_strings(tiny, min_similarity=0.5, multihost=False)
 pd.testing.assert_frame_equal(mh_tiny, oracle_tiny)
 print(f"ENGINE_TINY_OK {proc_id}", flush=True)
 
+# Sharded-tier escalation LADDER under real collectives: a tie-heavy
+# corpus (clusters of identical strings) overflows the kt=2 per-tile
+# extraction, so unsafe rows must climb the collective ladder on every
+# process in lock-step -- a dispatch mismatch here hangs rather than
+# mis-answers, and the result must stay bitwise-equal.
+dup_heavy = pd.Series(
+    [f"cluster {i % 7} holdings corp" for i in range(90)]
+    + list(names(30, seed=9))
+)
+sg_esc = StringGrouper(
+    dup_heavy, min_similarity=0.5, multihost="sharded"
+).fit()
+assert sg_esc.timings.seconds.get("match.mh_esc_rows", 0) > 0, (
+    sg_esc.timings.seconds
+)
+oracle_esc = sgt.match_strings(dup_heavy, min_similarity=0.5,
+                               multihost=False)
+pd.testing.assert_frame_equal(sg_esc.get_matches(), oracle_esc)
+print(f"ENGINE_LADDER_OK {proc_id}", flush=True)
+
 print(f"ENGINE_OK {proc_id}", flush=True)

@@ -90,6 +90,7 @@ def test_two_process_engine():
             "ENGINE_SHARDED_OK",
             "ENGINE_SHARDED_CROSS_OK",
             "ENGINE_TINY_OK",
+            "ENGINE_LADDER_OK",
             "ENGINE_OK",
         ),
     )
@@ -103,7 +104,7 @@ def test_three_process_engine():
         "12459",
         worker=ENGINE_WORKER,
         expect=("ENGINE_SELF_OK", "ENGINE_GROUPS_OK", "ENGINE_SHARDED_OK",
-                "ENGINE_TINY_OK", "ENGINE_OK"),
+                "ENGINE_TINY_OK", "ENGINE_LADDER_OK", "ENGINE_OK"),
         nproc=3,
         extra_env={"MH_ENGINE_N": "150"},
     )

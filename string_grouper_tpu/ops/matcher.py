@@ -96,6 +96,37 @@ _UB_ABS_SLACK = 1e-4
 # dropped candidates: true_ub <= computed_ub * _UB_ADJ + _UB_ABS_SLACK.
 _UB_ADJ = 1.01
 
+
+def escalation_unsafe(
+    bound: np.ndarray,
+    kept_q: np.ndarray,
+    row_cut: np.ndarray,
+    qual_low: float,
+    max_n_eff: int,
+) -> np.ndarray:
+    """THE safety predicate of the adaptive drivers (single-chip, mesh,
+    multihost ladder): True for rows whose device-reported drop bound
+    could still qualify AND beat the row's exact top-n cut.
+
+    Dropped candidates are bounded by the device-reported drop bound.
+    Cosine of L2-normalized rows never exceeds 1, so the adjusted bound
+    clamps at 1.  The cut comparison is >= (not >): a dropped candidate
+    tied with the cut usually IS a structural clone of a kept one, but a
+    bf16-shrunk bound near the slack limit could make a genuinely tied
+    reference match sit exactly at the cut, so the few extra escalated
+    rows are the safe trade.  The exact fp64 rescore can round a true-1.0
+    similarity slightly ABOVE 1 (e.g. 1.0000000000000002 for identical
+    strings), so the cut clamps like the bound -- otherwise a row whose
+    top-n cut rounds above 1 is wrongly deemed safe while its dropped
+    candidates carry the same above-1 exact score."""
+    adj = np.minimum(bound * _UB_ADJ + _UB_ABS_SLACK, 1.0)
+    cut = np.minimum(row_cut, 1.0)
+    return (
+        (bound > -np.inf)
+        & (adj >= qual_low)
+        & ((kept_q < max_n_eff) | (adj >= cut))
+    )
+
 _KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
 
 # Download budget of the ragged-prefix compaction, in candidate slots per
@@ -1807,25 +1838,7 @@ def adaptive_topn(
                 counts, tmax, bound, max_cnt, pending)
 
     def unsafe_rows(bound, kept_q, row_cut):
-        # Dropped candidates are bounded by the device-reported drop bound.
-        # Cosine of L2-normalized rows never exceeds 1, so clamp the
-        # adjusted bound at 1.  The cut comparison is >= (not >): a dropped
-        # candidate tied with the cut usually IS a structural clone of a
-        # kept one, but a bf16-shrunk bound near the slack limit could make
-        # a genuinely tied reference match sit exactly at the cut, so the
-        # few extra escalated rows are the safe trade.
-        adj = np.minimum(bound * _UB_ADJ + _UB_ABS_SLACK, 1.0)
-        # The exact fp64 rescore can round a true-1.0 similarity slightly
-        # ABOVE 1 (e.g. 1.0000000000000002 for identical strings), so the
-        # cut must be clamped like the bound -- otherwise a row whose top-n
-        # cut rounds above 1 is wrongly deemed safe while its dropped
-        # candidates carry the same above-1 exact score.
-        cut = np.minimum(row_cut, 1.0)
-        return (
-            (bound > -np.inf)
-            & (adj >= qual_low)
-            & ((kept_q < max_n_eff) | (adj >= cut))
-        )
+        return escalation_unsafe(bound, kept_q, row_cut, qual_low, max_n_eff)
 
     (rows_s, cols_s, sims_s, kept_q, row_cut, counts, tmax, bound, max_cnt,
      pending0) = collect(c, kt, stream_escalate=phase1_run_rows is not None)

@@ -417,7 +417,9 @@ def multihost_match_shard(
     thr = jnp.float32(effective_threshold(min_similarity))
     make_scan = _make_phase1_scan(mesh, tile, hash_dim)
 
-    cols_rep, bound_rep = make_scan(cand_c, tile)(a_chunks, b_hash, thr)
+    cols_rep, bound_rep, _tmax_rep = make_scan(cand_c, tile)(
+        a_chunks, b_hash, thr
+    )
 
     # Stage 6 onward is per-host: this process reads the rows it owns from
     # the replicated candidate matrix and scores/selects them exactly.
@@ -465,15 +467,12 @@ def multihost_match_shard(
     # width (k_tile = tile extracts every qualified column per tile and
     # cand_c = per-shard row count fits them all), so one round settles
     # everything.  Each host then reads back only the rows it owns.
-    from ..ops.matcher import _UB_ABS_SLACK, _UB_ADJ
+    from ..ops.matcher import escalation_unsafe
 
     bound_h = np.asarray(bound_rep)[shard_row0 : shard_row0 + n_local]
-    adj = np.minimum(bound_h * _UB_ADJ + _UB_ABS_SLACK, 1.0)
     max_n_eff = min(max_n_matches, n_total)
-    unsafe = (
-        (bound_h > -np.inf)
-        & (adj >= max(min_similarity, 0.0))
-        & ((kept_q < max_n_eff) | (adj >= np.minimum(row_cut, 1.0)))
+    unsafe = escalation_unsafe(
+        bound_h, kept_q, row_cut, max(min_similarity, 0.0), max_n_eff
     )
     my_unsafe = np.flatnonzero(unsafe).astype(np.int64) + shard_row0
     n_uns = _allgather_host(np.array([len(my_unsafe)], np.int64))
@@ -496,7 +495,9 @@ def multihost_match_shard(
             0,
         )
         esc_chunks = a_sub.reshape(-1, chunk, hash_dim)
-        cols_esc, bound_esc = make_scan(per_dev, tile)(esc_chunks, b_hash, thr)
+        cols_esc, bound_esc, _te = make_scan(per_dev, tile)(
+            esc_chunks, b_hash, thr
+        )
         if np.isfinite(np.asarray(bound_esc)).any():
             raise AssertionError(
                 "multihost escalation re-match reported a finite drop "
@@ -549,8 +550,11 @@ def _make_phase1_scan(mesh, tile: int, hash_dim: int):
     replicated, right tiles sharded over 'mp', per-chunk candidate merge via
     ``all_gather`` (the collective form of the reference's
     ``zip_sp_matmul_topn``, string_grouper.py:746).  Returns
-    ``make_scan(cand_w)`` -> jitted fn(a_chunks, b_hash, thr) ->
-    (cols[(rows, mp*cand_w)] in padded device space, drop bound[rows])."""
+    ``make_scan(cand_w, kt_w)`` -- candidate width and per-tile extraction
+    width -- -> jitted fn(a_chunks, b_hash, thr) -> (cols[(rows,
+    mp*cand_w)] in padded device space, drop bound[rows], per-row maximum
+    per-tile qualified count[rows] -- the value that sizes escalation
+    rungs exactly)."""
 
     def make_scan(cand_w, kt_w):
         def scan_chunks(a_chunks_r, b_loc, thr_s):
@@ -570,16 +574,24 @@ def _make_phase1_scan(mesh, tile: int, hash_dim: int):
                 gc = jax.lax.all_gather(cols_loc, "mp")  # (mp, m, W)
                 mp_sz, m, w = gc.shape
                 cols = jnp.swapaxes(gc, 0, 1).reshape(m, mp_sz * w)
-                return None, (cols, jax.lax.pmax(bound, "mp"))
+                return None, (
+                    cols,
+                    jax.lax.pmax(bound, "mp"),
+                    jax.lax.pmax(tmax, "mp"),
+                )
 
-            _, (cols, bound) = jax.lax.scan(body, None, a_chunks_r)
-            return cols.reshape(-1, cols.shape[-1]), bound.reshape(-1)
+            _, (cols, bound, tmax) = jax.lax.scan(body, None, a_chunks_r)
+            return (
+                cols.reshape(-1, cols.shape[-1]),
+                bound.reshape(-1),
+                tmax.reshape(-1),
+            )
 
         return jax.jit(shard_map(
             scan_chunks,
             mesh=mesh,
             in_specs=(P(None, None, None), P("mp", None), P()),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()),
             check_vma=False,
         ))
 
@@ -841,10 +853,13 @@ def multihost_sharded_fit_pairs(
     # stacks (n_tiles, rows, tile) intermediates, which at corpus scale is
     # a device OOM; the ladder below restores completeness.
     kt0 = initial_k_tile(min_similarity, tile, cand_c)
-    cols_rep, bound_rep = make_scan(cand_c, kt0)(a_chunks, b_hash, thr)
+    cols_rep, bound_rep, tmax_rep = make_scan(cand_c, kt0)(
+        a_chunks, b_hash, thr
+    )
     # Pull ONLY this process's left-row slice to host.
     cols_my = np.asarray(cols_rep[llo:lhi])
     bound_my = np.asarray(bound_rep[llo:lhi])
+    tmax_my = np.asarray(tmax_rep[llo:lhi])
     t["p1_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
 
@@ -887,34 +902,42 @@ def multihost_sharded_fit_pairs(
     # sequence -- device memory stays bounded because each batch's
     # per-tile extraction stack is (n_tiles, batch, kt) instead of
     # (n_tiles, corpus, tile).
-    from ..ops.matcher import _UB_ABS_SLACK, _UB_ADJ
+    from ..ops.matcher import escalation_unsafe
 
-    def detect_unsafe(bound_v, kept_v, cut_v):
-        adj = np.minimum(bound_v * _UB_ADJ + _UB_ABS_SLACK, 1.0)
-        return (
-            (bound_v > -np.inf)
-            & (adj >= max(min_similarity, 0.0))
-            & ((kept_v < max_n_eff) | (adj >= np.minimum(cut_v, 1.0)))
-        )
-
-    unsafe = detect_unsafe(bound_my, kept_q, row_cut)
+    qual_low = max(min_similarity, 0.0)
+    unsafe = escalation_unsafe(
+        bound_my, kept_q, row_cut, qual_low, max_n_eff
+    )
+    # Rung plan: per-tile extraction widths clamp to at least the initial
+    # kt0 (a narrower rung would re-introduce the per-tile drops the
+    # initial pass already paid for) and candidates widen toward the
+    # per-shard cap; the complete width is always last.  Rows are
+    # ASSIGNED to the first rung whose kt covers their device-reported
+    # per-tile maximum -- tmax is a data property, independent of the
+    # extraction width -- so no row climbs a rung that provably cannot
+    # settle it.
     stages = []
     if kt0 < tile or cand_c < per_dev_r:
-        # Widening rungs before the complete width: most escalated rows
-        # carry only a handful of per-tile overflows (the single-chip
-        # driver's kt-bucket distribution), so a cheap kt=8 rung settles
-        # the bulk before the 4x-costlier kt=32 one.
+        prev = (cand_c, kt0)
         for mid_cand, mid_kt in (
-            (min(max(cand_c * 4, 256), per_dev_r), min(8, tile)),
-            (min(max(cand_c * 16, 1024), per_dev_r), min(32, tile)),
+            (min(max(cand_c * 4, 256), per_dev_r), min(max(8, kt0), tile)),
+            (
+                min(max(cand_c * 16, 1024), per_dev_r),
+                min(max(32, kt0), tile),
+            ),
         ):
-            if mid_cand < per_dev_r or mid_kt < tile:
+            wider = mid_cand > prev[0] or mid_kt > prev[1]
+            if wider and (mid_cand < per_dev_r or mid_kt < tile):
                 stages.append((mid_cand, mid_kt))
+                prev = (mid_cand, mid_kt)
     stages.append((per_dev_r, tile))
     n_tiles_dev = max(per_dev_r // tile, 1)
-    t["esc_rows"] = 0
+    n_uns0 = _allgather_host(np.array([int(unsafe.sum())], np.int64))
+    t["esc_rows"] = int(n_uns0.sum())  # UNIQUE escalated rows, all procs
     touched_all = np.zeros(n_ll, dtype=bool)
-    for cand_s, kt_s in stages:
+    for si, (cand_s, kt_s) in enumerate(stages):
+        complete = cand_s >= per_dev_r and kt_s >= tile
+        eligible = unsafe if complete else (unsafe & (tmax_my <= kt_s))
         # Per-stage scan-chunk rows: the inner tile scan stacks
         # (n_tiles, chunk, kt) intermediates, so wide-kt stages need
         # narrow chunks (complete width: ~48 rows) while kt<=32 stages
@@ -926,18 +949,16 @@ def multihost_sharded_fit_pairs(
                 (1 << 29) // max(16 * n_tiles_dev * kt_s, 1) // 8 * 8,
             ),
         )
-        my_unsafe = np.flatnonzero(unsafe).astype(np.int64) + llo
+        my_unsafe = np.flatnonzero(eligible).astype(np.int64) + llo
         n_uns = _allgather_host(np.array([len(my_unsafe)], np.int64))
         if int(n_uns.max()) == 0:
-            break
-        t["esc_rows"] += int(n_uns.sum())
-        t[f"esc_rows_kt{kt_s}"] = int(n_uns.sum())
+            continue  # later stages may still own rows (tmax > this kt)
+        t[f"esc_s{si}_kt{kt_s}_rows"] = int(n_uns.sum())
         t_stage0 = time.perf_counter()
         pad = np.full(int(n_uns.max()), -1, dtype=np.int64)
         pad[: len(my_unsafe)] = my_unsafe
         gathered = _allgather_host(pad).reshape(-1)
         union = np.unique(gathered[gathered >= 0])
-        complete = cand_s >= per_dev_r and kt_s >= tile
         # Batch rows so the per-dispatch extraction stack (~2 copies of
         # (n_tiles, batch, kt) f32+i32) stays under ~0.5 GB.
         per_row_b = 16 * n_tiles_dev * kt_s + 4 * n_dev * cand_s
@@ -957,7 +978,7 @@ def multihost_sharded_fit_pairs(
                 0,
             )
             esc_chunks = a_sub.reshape(-1, chunk_esc, hash_dim)
-            cols_b, bound_b = make_scan(cand_s, kt_s)(
+            cols_b, bound_b, _tmax_b = make_scan(cand_s, kt_s)(
                 esc_chunks, b_hash, thr
             )
             if complete and np.isfinite(
@@ -996,19 +1017,20 @@ def multihost_sharded_fit_pairs(
         r_s = np.concatenate([r_s[keep], r2])
         c_s = np.concatenate([c_s[keep], c2])
         s_s = np.concatenate([s_s[keep], s2])
-        # Next-stage unsafe set: only this stage's rows, judged by their
-        # NEW bounds and selection cuts.
-        unsafe = np.zeros(n_ll, dtype=bool)
+        # This stage's rows settle or re-queue on their NEW bounds and
+        # selection cuts; rows waiting for a wider rung stay unsafe.
+        unsafe[rows_mine] = False
         if len(rows_mine) and not complete:
             bound_new = (
                 np.concatenate(bound_mine_parts)
                 if bound_mine_parts
                 else np.zeros(0)
             )
-            unsafe[rows_mine] = detect_unsafe(
-                bound_new, kept2[rows_mine], cut2[rows_mine]
+            unsafe[rows_mine] = escalation_unsafe(
+                bound_new, kept2[rows_mine], cut2[rows_mine],
+                qual_low, max_n_eff,
             )
-        t[f"esc_kt{kt_s}_s"] = time.perf_counter() - t_stage0
+        t[f"esc_s{si}_kt{kt_s}_s"] = time.perf_counter() - t_stage0
     if touched_all.any():
         order = np.lexsort((c_s, -s_s, r_s))
         r_s, c_s, s_s = r_s[order], c_s[order], s_s[order]

@@ -401,6 +401,44 @@ def _native_eligible(config: StringGrouperConfig):
     return lib
 
 
+def f32_idf(df: np.ndarray, n_docs: int) -> np.ndarray:
+    """sklearn's float32 smooth-IDF chain, rounding at every step
+    (TfidfTransformer.fit casts df to the matrix dtype, then /=, log, +=
+    all in float32).  THE shared implementation: the single-controller
+    encoder, the mesh tier and the multihost tiers must execute the
+    identical op sequence or their bitwise cross-tier equality breaks."""
+    df32 = df.astype(np.float32) + np.float32(1.0)
+    idf = np.full_like(df32, n_docs + 1, dtype=np.float32)
+    idf /= df32
+    np.log(idf, out=idf)
+    idf += np.float32(1.0)
+    return idf
+
+
+def f32_row_values(
+    rows: np.ndarray,
+    terms: np.ndarray,
+    tf: np.ndarray,
+    idf32: np.ndarray,
+    n_rows: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """sklearn's float32 value chain (shared across tiers like
+    :func:`f32_idf`): tf*idf as f32*f32, squares in f32 with sequential
+    float64 accumulation (inplace_csr_row_normalize_l2's double sum_),
+    then the f32/f64 division rounded back to f32.  Returns ``(vals
+    float64-promoted, inv_norm float64)``; the chain is row-local, so
+    shard blocks concatenate bitwise equal to a full encode."""
+    w = tf.astype(np.float32) * idf32[terms]
+    norm_sq = np.bincount(rows, weights=w * w, minlength=n_rows)
+    norm = np.sqrt(norm_sq)
+    safe = np.where(norm > 0, norm, 1.0)
+    vals = (w / safe[rows]).astype(np.float32).astype(np.float64)
+    inv = np.zeros(n_rows, dtype=np.float64)
+    nz = norm > 0
+    inv[nz] = 1.0 / norm[nz]
+    return vals, inv
+
+
 def _ell_from_unique_pairs(
     rows: np.ndarray,
     terms: np.ndarray,
@@ -637,15 +675,7 @@ class TfidfEncoder:
         rows, terms, tf = _unique_row_term_counts(row_ids, t_idx, n_terms)
         df = np.bincount(terms, minlength=n_terms)
         if self.config.tfidf_matrix_dtype == np.float32:
-            # sklearn computes the whole smooth-IDF chain in the matrix
-            # dtype (TfidfTransformer.fit: df cast to dtype, then /=, log,
-            # += all in float32) -- reproduce each rounding step.
-            df32 = df.astype(np.float32) + np.float32(1.0)
-            idf = np.full_like(df32, n_rows + 1, dtype=np.float32)
-            idf /= df32
-            np.log(idf, out=idf)
-            idf += np.float32(1.0)
-            self.idf_ = idf
+            self.idf_ = f32_idf(df, n_rows)
         else:
             self.idf_ = np.log((1.0 + n_rows) / (1.0 + df)) + 1.0
 
@@ -745,17 +775,12 @@ class TfidfEncoder:
     ) -> EllMatrix:
         if self.config.tfidf_matrix_dtype == np.float32:
             # dtype flows into the MATRIX, not just the output (reference
-            # string_grouper.py:306: TfidfVectorizer(dtype=...)).  sklearn's
-            # float32 rounding points, verified bitwise against sklearn
-            # 1.9: tf*idf as an f32*f32 multiply (X.data *= idf_), squares
-            # in f32 with sequential float64 accumulation
-            # (inplace_csr_row_normalize_l2's `double sum_`), then the
-            # f32/f64 division rounded back to f32.
-            w = tf.astype(np.float32) * self.idf_[terms].astype(np.float32)
-            norm_sq = np.bincount(rows, weights=w * w, minlength=n_rows)
-            norm = np.sqrt(norm_sq)
-            safe = np.where(norm > 0, norm, 1.0)
-            vals = (w / safe[rows]).astype(np.float32).astype(np.float64)
+            # string_grouper.py:306: TfidfVectorizer(dtype=...)); rounding
+            # points verified bitwise against sklearn 1.9 -- see
+            # f32_row_values.
+            vals, _inv = f32_row_values(
+                rows, terms, tf, self.idf_.astype(np.float32), n_rows
+            )
             return _ell_from_unique_pairs(rows, terms, vals, n_rows, n_terms)
         w = tf.astype(np.float64) * self.idf_[terms]
         norm_sq = np.bincount(rows, weights=w * w, minlength=n_rows)

@@ -1294,6 +1294,11 @@ def _phase1_single(
                 _dense["b"] = jnp.concatenate(
                     [get_chunk(k) for k in range(n_groups)]
                 )
+                # Release the per-chunk arrays: everything after the
+                # chunked passes reads the concatenated form, and keeping
+                # both doubles right-hash HBM.  (A rare later chunked
+                # re-run would lazily rebuild them.)
+                _chunks[:] = [None] * n_groups
             elif right_sel is None:
                 _dense["b"] = build_hash_matrix(right, n_right_p, hash_dim)
             else:

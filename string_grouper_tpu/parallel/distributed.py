@@ -120,14 +120,11 @@ def _shard_pass2(encoder, corpus, keys, row_ids, vocab, width):
     t_idx = np.searchsorted(vocab, keys)
     rows, terms, tf = _unique_row_term_counts(row_ids, t_idx, n_terms)
     if encoder.config.tfidf_matrix_dtype == np.float32:
-        w = tf.astype(np.float32) * encoder.idf_[terms].astype(np.float32)
-        norm_sq = np.bincount(rows, weights=w * w, minlength=corpus.n_rows)
-        norm = np.sqrt(norm_sq)
-        safe = np.where(norm > 0, norm, 1.0)
-        vals = (w / safe[rows]).astype(np.float32).astype(np.float64)
-        inv = np.zeros(corpus.n_rows, dtype=np.float64)
-        nz = norm > 0
-        inv[nz] = 1.0 / norm[nz]
+        from ..corpus.tfidf import f32_row_values
+
+        vals, inv = f32_row_values(
+            rows, terms, tf, encoder.idf_.astype(np.float32), corpus.n_rows
+        )
         ell = _ell_from_unique_pairs(
             rows, terms, vals, corpus.n_rows, n_terms, width=width
         )
@@ -280,12 +277,9 @@ def sharded_fit_transform(encoder, master, duplicates, mesh: Mesh):
     encoder._dev_tables = None
     encoder.n_docs_ = n_docs
     if encoder.config.tfidf_matrix_dtype == np.float32:
-        df32 = df.astype(np.float32) + np.float32(1.0)
-        idf32 = np.full_like(df32, n_docs + 1, dtype=np.float32)
-        idf32 /= df32
-        np.log(idf32, out=idf32)
-        idf32 += np.float32(1.0)
-        encoder.idf_ = idf32
+        from ..corpus.tfidf import f32_idf
+
+        encoder.idf_ = f32_idf(df, n_docs)
     else:
         encoder.idf_ = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
 

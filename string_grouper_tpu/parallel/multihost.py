@@ -238,20 +238,11 @@ def multihost_encode_shard(
     # (idf, tf).
     f32 = np.dtype(config.tfidf_matrix_dtype) == np.float32
     if f32:
-        df32 = df.astype(np.float32) + np.float32(1.0)
-        idf32c = np.full_like(df32, n_docs + 1, dtype=np.float32)
-        idf32c /= df32
-        np.log(idf32c, out=idf32c)
-        idf32c += np.float32(1.0)
+        from ..corpus.tfidf import f32_idf, f32_row_values
+
+        idf32c = f32_idf(df, n_docs)
         idf = idf32c.astype(np.float64)
-        w = tf.astype(np.float32) * idf32c[terms]
-        norm_sq = np.bincount(rows, weights=w * w, minlength=n_rows)
-        norm = np.sqrt(norm_sq)
-        safe = np.where(norm > 0, norm, 1.0)
-        vals = (w / safe[rows]).astype(np.float32).astype(np.float64)
-        inv = np.zeros(n_rows, dtype=np.float64)
-        nz = norm > 0
-        inv[nz] = 1.0 / norm[nz]
+        vals, inv = f32_row_values(rows, terms, tf, idf32c, n_rows)
     else:
         idf = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
         w = tf.astype(np.float64) * idf[terms]
@@ -648,8 +639,18 @@ class _RingRescorer:
         owner = (
             np.searchsorted(self.right_starts, cols_global, side="right") - 1
         )
+        # One tiny collective agrees which shards ANY process needs this
+        # call, so rounds nobody needs skip their two full-shard
+        # broadcasts (escalation-ladder calls typically touch a handful
+        # of shards for a handful of rows).
+        need_local = np.zeros(self.nproc, dtype=np.int64)
+        if len(owner):
+            need_local[np.unique(owner)] = 1
+        need = _allgather_host(need_local).max(axis=0)
         w = self.right.width
         for s in range(self.nproc):
+            if not need[s]:
+                continue
             sel = owner == s
             if s == self.pid:
                 # Local shard: no transfer.
@@ -751,12 +752,17 @@ def multihost_sharded_fit_pairs(
         left_ell if is_self
         else _slice_ell(local_ell, n_ll, n_ll + (rhi - rlo))
     )
-    left_counts = _allgather_host(
-        np.array([n_ll], np.int64)
-    ).reshape(-1)
-    right_counts = _allgather_host(
-        np.array([rhi - rlo], np.int64)
-    ).reshape(-1)
+    # Counts are pure functions of (n, nproc): every process computes all
+    # peers' locally instead of paying two collectives.
+    left_counts = np.array(
+        [_shard_bounds(n_m, nproc, p)[2] - _shard_bounds(n_m, nproc, p)[1]
+         for p in range(nproc)], np.int64,
+    )
+    right_counts = np.array(
+        [_shard_bounds(n_right, nproc, p)[2]
+         - _shard_bounds(n_right, nproc, p)[1]
+         for p in range(nproc)], np.int64,
+    )
     left_starts = np.concatenate(([0], np.cumsum(left_counts))).astype(
         np.int64
     )
@@ -1269,10 +1275,15 @@ def _check_replicated_capacity(local_ell: EllMatrix, n_docs: int) -> None:
     else:
         avail = _host_available_bytes()
         local_budget = float("inf") if avail is None else 0.8 * avail
+    # Globalize BOTH sides of the comparison: the estimate's payload
+    # density is per-shard (this process's string lengths), so comparing
+    # local est against the global budget could still raise on some
+    # processes only.  max(est) vs min(budget) is identical everywhere.
     gathered = _allgather_host(
-        np.array([local_budget], np.float64)
-    ).reshape(-1)
-    budget = float(gathered.min())
+        np.array([float(est), local_budget], np.float64)
+    )
+    est = float(gathered[:, 0].max())
+    budget = float(gathered[:, 1].min())
     if est > budget:
         raise MemoryError(
             f"multihost='replicated' would materialize ~{est / (1 << 30):.1f}"
@@ -1317,8 +1328,7 @@ def multihost_fit_pairs(
     n_m = len(master)
     n_docs = n_m + (0 if is_self else len(duplicates))
 
-    per = -(-max(n_docs, 1) // nproc)
-    lo, hi = pid * per, min((pid + 1) * per, n_docs)
+    _per, lo, hi = _shard_bounds(n_docs, nproc, pid)
 
     def shard_strings():
         if hi <= lo:
@@ -1358,8 +1368,7 @@ def multihost_fit_pairs(
     right_series = master if is_self else duplicates
     n_right = len(right_series)
     max_n = n_right if config.max_n_matches is None else config.max_n_matches
-    per_l = -(-max(n_m, 1) // nproc)
-    lo_l, hi_l = pid * per_l, min((pid + 1) * per_l, n_m)
+    _per_l, lo_l, hi_l = _shard_bounds(n_m, nproc, pid)
     if config.mesh is not None:
         # Validate on EVERY process (including empty-slice ones): raising
         # on some processes while others proceed into the pair allgather

@@ -14,7 +14,8 @@ reference's in-kernel semantics).
 Recorded runs: 2026-08-20, 200/200 clean on TPU v5e in ~10 min (after
 fixing the empty-cross-join expansion crash seed 1000 found); f32 mode
 150/150 clean.  2026-08-21 (round 5, after the phase-1 lazy-build /
-chunked-pipeline refactor): 100/100 clean on TPU in 376 s.
+chunked-pipeline refactor): 100/100 clean on TPU in 376 s; after the
+shared-f32-chain refactor: 50/50 f32 clean on TPU in 208 s.
 """
 import os, sys, time
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
